@@ -1,0 +1,321 @@
+"""Neural fields: SDF, rendering (color), variance and background networks.
+
+Functional JAX re-designs of the reference field networks (reference:
+AvatarGen/AppearanceGen/models/fields.py). Parameters are plain pytrees
+(dicts of arrays) so they compose directly with optax, orbax and pjit
+sharding; every ``apply`` is a pure function of (params, inputs).
+
+Fidelity notes (NeuS convergence is sensitive to these):
+  * geometric initialization of the SDF MLP incl. the sqrt(pi)/sqrt(d) final
+    layer and the zeroed positional-encoding columns (fields.py:45-63);
+  * weight normalization w = g * v/|v| with g initialized to |w|
+    (torch nn.utils.weight_norm semantics, fields.py:65-66);
+  * Softplus(beta=100) activation (fields.py:70) and the skip connection
+    concat scaled by 1/sqrt(2) (fields.py:81-82);
+  * the ``extra_color`` head branching off the penultimate activation
+    (fields.py:147-150, 177-181).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .embedder import embed_dim, positional_encoding
+
+Params = dict
+
+
+# ---------------------------------------------------------------------------
+# Weight-normalized linear layers
+# ---------------------------------------------------------------------------
+
+
+def _wn_from_weight(w: jnp.ndarray, b: jnp.ndarray) -> Params:
+    """Convert a dense weight (out, in) into weight-norm params {g, v, b}."""
+    g = jnp.linalg.norm(w, axis=1, keepdims=True)
+    return {"g": g, "v": w, "b": b}
+
+
+def linear_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    if "g" in p:  # weight-normalized
+        v = p["v"]
+        w = p["g"] * v / jnp.linalg.norm(v, axis=1, keepdims=True)
+    else:
+        w = p["w"]
+    return x @ w.T + p["b"]
+
+
+# ---------------------------------------------------------------------------
+# SDF network
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class SDFConfig:
+    d_in: int = 3
+    d_out: int = 257
+    d_hidden: int = 256
+    n_layers: int = 4
+    skip_in: Sequence[int] = (4,)
+    multires: int = 6
+    bias: float = 0.5
+    scale: float = 1.0
+    geometric_init: bool = True
+    weight_norm: bool = True
+    inside_outside: bool = False
+
+    @property
+    def dims(self) -> list[int]:
+        d0 = embed_dim(self.multires, self.d_in) if self.multires > 0 else self.d_in
+        return [d0] + [self.d_hidden] * self.n_layers + [self.d_out]
+
+
+def sdf_init(key: jax.Array, cfg: SDFConfig) -> Params:
+    dims = cfg.dims
+    n = len(dims)
+    layers = []
+    for l in range(n - 1):
+        out_dim = dims[l + 1] - dims[0] if (l + 1) in cfg.skip_in else dims[l + 1]
+        in_dim = dims[l]
+        key, k1 = jax.random.split(key)
+        if cfg.geometric_init:
+            if l == n - 2:
+                mean = np.sqrt(np.pi) / np.sqrt(in_dim)
+                if cfg.inside_outside:
+                    mean = -mean
+                w = mean + 1e-4 * jax.random.normal(k1, (out_dim, in_dim))
+                b = jnp.full((out_dim,), cfg.bias if cfg.inside_outside else -cfg.bias)
+            elif cfg.multires > 0 and l == 0:
+                w = jnp.zeros((out_dim, in_dim))
+                w = w.at[:, :3].set(
+                    jax.random.normal(k1, (out_dim, 3))
+                    * (np.sqrt(2.0) / np.sqrt(out_dim))
+                )
+                b = jnp.zeros((out_dim,))
+            elif cfg.multires > 0 and l in cfg.skip_in:
+                w = jax.random.normal(k1, (out_dim, in_dim)) * (
+                    np.sqrt(2.0) / np.sqrt(out_dim)
+                )
+                w = w.at[:, -(dims[0] - 3):].set(0.0)
+                b = jnp.zeros((out_dim,))
+            else:
+                w = jax.random.normal(k1, (out_dim, in_dim)) * (
+                    np.sqrt(2.0) / np.sqrt(out_dim)
+                )
+                b = jnp.zeros((out_dim,))
+        else:
+            bound = 1.0 / np.sqrt(in_dim)
+            key, k2 = jax.random.split(key)
+            w = jax.random.uniform(k1, (out_dim, in_dim), minval=-bound, maxval=bound)
+            b = jax.random.uniform(k2, (out_dim,), minval=-bound, maxval=bound)
+        w = w.astype(jnp.float32)
+        b = b.astype(jnp.float32)
+        layers.append(_wn_from_weight(w, b) if cfg.weight_norm else {"w": w, "b": b})
+    return {"layers": layers}
+
+
+def _softplus100(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.softplus(100.0 * x) / 100.0
+
+
+def sdf_apply(params: Params, cfg: SDFConfig, pts: jnp.ndarray) -> jnp.ndarray:
+    """(P, 3) -> (P, d_out) = [sdf, geometry feature]."""
+    inputs = pts * cfg.scale
+    if cfg.multires > 0:
+        inputs = positional_encoding(inputs, cfg.multires)
+    x = inputs
+    n = len(cfg.dims)
+    for l, lp in enumerate(params["layers"]):
+        if l in cfg.skip_in:
+            x = jnp.concatenate([x, inputs], axis=-1) / np.sqrt(2.0)
+        x = linear_apply(lp, x)
+        if l < n - 2:
+            x = _softplus100(x)
+    return jnp.concatenate([x[..., :1] / cfg.scale, x[..., 1:]], axis=-1)
+
+
+def sdf_value(params: Params, cfg: SDFConfig, pts: jnp.ndarray) -> jnp.ndarray:
+    return sdf_apply(params, cfg, pts)[..., :1]
+
+
+def sdf_with_gradient(params: Params, cfg: SDFConfig, pts: jnp.ndarray):
+    """Returns (sdf (P,1), feature (P,F), gradient (P,3)) in one fused pass.
+
+    Replaces the reference's autograd double-backward gradient
+    (fields.py:96-107) with a single batched VJP: the SDF at each point
+    depends only on that point, so vjp with a ones cotangent yields the exact
+    per-point spatial gradient, and the whole computation stays inside the
+    jitted training graph (higher-order AD handles the eikonal term).
+    """
+    out, vjp_fn = jax.vjp(lambda p: sdf_apply(params, cfg, p), pts)
+    # broadcast a one-hot row rather than materializing a (P, d_out) constant
+    one_hot = jnp.zeros((cfg.d_out,), out.dtype).at[0].set(1.0)
+    (grad,) = vjp_fn(jnp.broadcast_to(one_hot, out.shape))
+    return out[..., :1], out[..., 1:], grad
+
+
+# ---------------------------------------------------------------------------
+# Rendering (color) network
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class ColorConfig:
+    d_feature: int = 256
+    mode: str = "no_view_dir"  # idr | no_view_dir | no_normal
+    d_in: int = 6
+    d_out: int = 3
+    d_hidden: int = 256
+    n_layers: int = 2
+    weight_norm: bool = True
+    multires_view: int = 0
+    squeeze_out: bool = True
+    extra_color: bool = False
+
+    @property
+    def dims(self) -> list[int]:
+        d0 = self.d_in + self.d_feature
+        if self.multires_view > 0:
+            d0 += embed_dim(self.multires_view, 3) - 3
+        return [d0] + [self.d_hidden] * self.n_layers + [self.d_out]
+
+
+def color_init(key: jax.Array, cfg: ColorConfig) -> Params:
+    dims = cfg.dims
+    layers = []
+    for l in range(len(dims) - 1):
+        key, k1, k2 = jax.random.split(key, 3)
+        bound = 1.0 / np.sqrt(dims[l])
+        w = jax.random.uniform(k1, (dims[l + 1], dims[l]), minval=-bound, maxval=bound)
+        b = jax.random.uniform(k2, (dims[l + 1],), minval=-bound, maxval=bound)
+        layers.append(_wn_from_weight(w, b) if cfg.weight_norm else {"w": w, "b": b})
+    params: Params = {"layers": layers}
+    if cfg.extra_color:
+        key, k1, k2 = jax.random.split(key, 3)
+        d_pen = dims[-2]
+        bound = 1.0 / np.sqrt(d_pen)
+        w = jax.random.uniform(k1, (cfg.d_out, d_pen), minval=-bound, maxval=bound)
+        b = jax.random.uniform(k2, (cfg.d_out,), minval=-bound, maxval=bound)
+        params["extra"] = _wn_from_weight(w, b) if cfg.weight_norm else {"w": w, "b": b}
+    return params
+
+
+def color_apply(
+    params: Params,
+    cfg: ColorConfig,
+    points: jnp.ndarray,
+    normals: jnp.ndarray,
+    view_dirs: jnp.ndarray,
+    features: jnp.ndarray,
+) -> jnp.ndarray:
+    """-> (P, d_out) or (P, 2*d_out) when extra_color (main + extra heads)."""
+    if cfg.multires_view > 0:
+        view_dirs = positional_encoding(view_dirs, cfg.multires_view)
+    if cfg.mode == "idr":
+        x = jnp.concatenate([points, view_dirs, normals, features], axis=-1)
+    elif cfg.mode == "no_view_dir":
+        x = jnp.concatenate([points, normals, features], axis=-1)
+    elif cfg.mode == "no_normal":
+        x = jnp.concatenate([points, view_dirs, features], axis=-1)
+    else:
+        raise ValueError(f"unknown color mode {cfg.mode}")
+
+    n = len(cfg.dims)
+    extra_x = None
+    for l, lp in enumerate(params["layers"]):
+        x = linear_apply(lp, x)
+        if l < n - 2:
+            x = jax.nn.relu(x)
+        if cfg.extra_color and l == n - 3:
+            extra_x = linear_apply(params["extra"], x)
+    if cfg.extra_color:
+        x = jnp.concatenate([x, extra_x], axis=-1)
+    if cfg.squeeze_out:
+        x = jax.nn.sigmoid(x)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Single-parameter variance network
+# ---------------------------------------------------------------------------
+
+
+def variance_init(init_val: float) -> Params:
+    return {"variance": jnp.asarray(init_val, dtype=jnp.float32)}
+
+
+def variance_inv_s(params: Params) -> jnp.ndarray:
+    """inv_s = exp(10 * variance) (fields.py:270-276)."""
+    return jnp.exp(params["variance"] * 10.0)
+
+
+# ---------------------------------------------------------------------------
+# NeRF background network (NeRF++ inverted-sphere background; constructed but
+# disabled in all reference configs — main.py:136)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class NeRFConfig:
+    D: int = 8
+    W: int = 256
+    d_in: int = 4
+    d_in_view: int = 3
+    multires: int = 10
+    multires_view: int = 4
+    skips: Sequence[int] = (4,)
+    use_viewdirs: bool = True
+    output_ch: int = 4
+
+
+def nerf_init(key: jax.Array, cfg: NeRFConfig) -> Params:
+    in_ch = embed_dim(cfg.multires, cfg.d_in) if cfg.multires > 0 else cfg.d_in
+    in_ch_view = (
+        embed_dim(cfg.multires_view, cfg.d_in_view)
+        if cfg.multires_view > 0
+        else cfg.d_in_view
+    )
+
+    def dense(key, dout, din):
+        k1, k2 = jax.random.split(key)
+        bound = 1.0 / np.sqrt(din)
+        return {
+            "w": jax.random.uniform(k1, (dout, din), minval=-bound, maxval=bound),
+            "b": jax.random.uniform(k2, (dout,), minval=-bound, maxval=bound),
+        }
+
+    keys = jax.random.split(key, cfg.D + 4)
+    pts_layers = [dense(keys[0], cfg.W, in_ch)]
+    for i in range(cfg.D - 1):
+        din = cfg.W + in_ch if i in cfg.skips else cfg.W
+        pts_layers.append(dense(keys[i + 1], cfg.W, din))
+    return {
+        "pts": pts_layers,
+        "view": dense(keys[-4], cfg.W // 2, in_ch_view + cfg.W),
+        "feature": dense(keys[-3], cfg.W, cfg.W),
+        "alpha": dense(keys[-2], 1, cfg.W),
+        "rgb": dense(keys[-1], 3, cfg.W // 2),
+    }
+
+
+def nerf_apply(params: Params, cfg: NeRFConfig, pts: jnp.ndarray, views: jnp.ndarray):
+    if cfg.multires > 0:
+        pts = positional_encoding(pts, cfg.multires)
+    if cfg.multires_view > 0:
+        views = positional_encoding(views, cfg.multires_view)
+    h = pts
+    for i, lp in enumerate(params["pts"]):
+        h = jax.nn.relu(linear_apply(lp, h))
+        if i in cfg.skips:
+            h = jnp.concatenate([pts, h], axis=-1)
+    alpha = linear_apply(params["alpha"], h)
+    feature = linear_apply(params["feature"], h)
+    h = jnp.concatenate([feature, views], axis=-1)
+    h = jax.nn.relu(linear_apply(params["view"], h))
+    rgb = linear_apply(params["rgb"], h)
+    return alpha, rgb

@@ -1,0 +1,124 @@
+import glob
+import os
+
+import pytest
+
+from avatarclip_tpu import config
+
+
+EXAMPLE = """
+general {
+    base_exp_dir = ./exp/smpl/example
+    recording = [
+        ./,
+        ./models
+    ]
+}
+
+dataset {
+    data_dir = ./data/zero_beta_standpose_render
+    template_obj = ./data/zero_beta_smpl.obj
+}
+
+train {
+    learning_rate = 5e-4
+    learning_rate_alpha = 0.05
+    end_iter = 30000
+    batch_size = 512
+    max_ray_num = 7000
+    use_white_bkgd = False
+    igr_weight = 0.1
+    use_silhouettes = True
+    head_height = 0.7
+}
+
+clip {
+    prompt = a 3D rendering of a {TOREPLACE} in unreal engine
+}
+
+model {
+    nerf {
+        D = 4,
+        skips=[4],
+        use_viewdirs=True
+    }
+    sdf_network {
+        d_out = 129
+        skip_in = [3]
+        scale = 1.0
+        geometric_init = True
+    }
+    neus_renderer {
+        n_samples = 32
+        up_sample_steps = 4     # 1 for simple coarse-to-fine sampling
+        perturb = 1.0
+    }
+}
+"""
+
+
+def test_parse_sections_and_scalars():
+    conf = config.parse_string(EXAMPLE)
+    assert conf.get_string("general.base_exp_dir") == "./exp/smpl/example"
+    assert conf.get_float("train.learning_rate") == pytest.approx(5e-4)
+    assert conf.get_int("train.end_iter") == 30000
+    assert conf.get_bool("train.use_white_bkgd") is False
+    assert conf.get_bool("train.use_silhouettes") is True
+    assert conf.get_float("train.head_height") == pytest.approx(0.7)
+
+
+def test_multiline_list_of_paths():
+    conf = config.parse_string(EXAMPLE)
+    assert conf.get_list("general.recording") == ["./", "./models"]
+
+
+def test_prompt_with_placeholder_braces():
+    conf = config.parse_string(EXAMPLE)
+    assert (
+        conf.get_string("clip.prompt")
+        == "a 3D rendering of a {TOREPLACE} in unreal engine"
+    )
+
+
+def test_trailing_commas_and_inline_comments():
+    conf = config.parse_string(EXAMPLE)
+    assert conf.get_int("model.nerf.D") == 4
+    assert conf.get_list("model.nerf.skips") == [4]
+    assert conf.get_int("model.neus_renderer.up_sample_steps") == 4
+
+
+def test_nested_conf_access_and_as_dict():
+    conf = config.parse_string(EXAMPLE)
+    sdf = conf["model.sdf_network"]
+    assert sdf.get_int("d_out") == 129
+    d = sdf.as_dict()
+    assert d["skip_in"] == [3]
+    assert isinstance(d["scale"], float)
+    assert d["geometric_init"] is True
+
+
+def test_defaults_and_missing():
+    conf = config.parse_string(EXAMPLE)
+    assert conf.get_int("train.max_ray_num", default=112 * 112) == 7000
+    assert conf.get_int("train.nonexistent", default=42) == 42
+    with pytest.raises(config.ConfigMissingError):
+        conf.get_int("train.nonexistent")
+    assert "train.batch_size" in conf
+    assert "nope.nope" not in conf
+
+
+def test_dotted_keys_and_colon():
+    conf = config.parse_string("a.b.c = 3\nx : hello world")
+    assert conf.get_int("a.b.c") == 3
+    assert conf.get_string("x") == "hello world"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference"), reason="reference checkout not present"
+)
+def test_parses_all_reference_confs():
+    confs = glob.glob("/root/reference/**/*.conf", recursive=True)
+    assert len(confs) > 100
+    for path in confs:
+        conf = config.parse_file(path)
+        assert list(conf.keys())
