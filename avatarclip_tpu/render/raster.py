@@ -1,0 +1,386 @@
+"""TPU-native mesh rasterizer: edge-function tests as MXU matmuls.
+
+Replaces the reference's external CUDA rasterizer (neural_renderer,
+reference: AvatarGen/AppearanceGen/models/utils.py:108-125,
+AvatarGen/ShapeGen/render.py:32-57, AvatarAnimate/models/render.py:10-39)
+with a fully jittable design built around one observation: a triangle
+rasterizer is three edge-function evaluations plus a depth interpolation per
+(pixel, face) pair, and each of those is *linear in the pixel coordinates* —
+so the whole visibility problem becomes
+
+    [P, 3] pixel matrix  @  [3, 4F] per-face coefficients  ->  [P, 4F]
+
+which is exactly the systolic-array (MXU) shape TPUs are built for. Faces are
+processed in chunks under a ``lax.scan`` carrying a running (nearest inverse
+depth, face id) z-buffer, so peak memory is P x CHUNK instead of P x F.
+
+Two front ends share this core:
+  * :func:`render_mesh` — hard z-buffer rasterization + smooth shading, used
+    for the detached GT template renders in train_clip (main.py:360) and the
+    108-view NeuS-init renderer (ShapeGen/render.py:32-57);
+  * :func:`soft_render_mesh` — SoftRas-style differentiable silhouette/color
+    aggregation (sigmoid edge distances, depth-softmax blending) for the
+    pose optimizers that backprop through rendering
+    (AvatarAnimate/models/pose_generation.py:120-127).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class Projected(NamedTuple):
+    sx: jnp.ndarray  # (V,) screen x (pixels)
+    sy: jnp.ndarray  # (V,) screen y (pixels)
+    inv_z: jnp.ndarray  # (V,) 1 / depth (depth = distance along -z, > 0 in front)
+    in_front: jnp.ndarray  # (V,) bool
+
+
+def project_vertices(
+    vertices: jnp.ndarray,  # (V, 3) world
+    pose: jnp.ndarray,  # (4, 4) camera-to-world
+    H: int,
+    W: int,
+    focal: float,
+) -> Projected:
+    """World -> pixel projection with the same pinhole model as the ray
+    generator (cameras.pixel_grid_rays), so rasterized GT images and NeuS
+    renders line up pixel-for-pixel."""
+    R = pose[:3, :3]
+    t = pose[:3, 3]
+    v_cam = (vertices - t) @ R  # R^T (v - t)
+    depth = -v_cam[:, 2]
+    in_front = depth > 1e-6
+    safe_depth = jnp.where(in_front, depth, 1.0)
+    inv_z = jnp.where(in_front, 1.0 / safe_depth, 0.0)
+    sx = W * 0.5 + focal * v_cam[:, 0] * inv_z
+    sy = H * 0.5 - focal * v_cam[:, 1] * inv_z
+    return Projected(sx, sy, inv_z, in_front)
+
+
+def _face_coefficients(proj: Projected, faces: jnp.ndarray):
+    """Per-face linear coefficients for the scan core.
+
+    For face (a, b, c) with screen points A, B, C, the edge function
+    E_bc(P) = (C-B) x (P-B) is linear in P = (px, py, 1). Stacking the three
+    edge functions and the screen-linear 1/z interpolant gives a (3, F, 4)
+    coefficient tensor; pixels @ coefficients evaluates all of them at once.
+
+    Returns (coef (F, 3, 4), valid (F,), edge_inv_len (F, 3)).
+    """
+    A = jnp.stack([proj.sx[faces[:, 0]], proj.sy[faces[:, 0]]], -1)
+    B = jnp.stack([proj.sx[faces[:, 1]], proj.sy[faces[:, 1]]], -1)
+    C = jnp.stack([proj.sx[faces[:, 2]], proj.sy[faces[:, 2]]], -1)
+
+    def edge(P0, P1):
+        # e(P) = (P1x-P0x)(Py-P0y) - (P1y-P0y)(Px-P0x), as [cx, cy, c1]
+        dx = P1[:, 0] - P0[:, 0]
+        dy = P1[:, 1] - P0[:, 1]
+        return jnp.stack([-dy, dx, dy * P0[:, 0] - dx * P0[:, 1]], -1), jnp.stack(
+            [dx, dy], -1
+        )
+
+    e_bc, d_bc = edge(B, C)  # weight of vertex a
+    e_ca, d_ca = edge(C, A)  # weight of vertex b
+    e_ab, d_ab = edge(A, B)  # weight of vertex c
+
+    # signed area * 2 = e_ab evaluated at C
+    area2 = e_ab[:, 0] * C[:, 0] + e_ab[:, 1] * C[:, 1] + e_ab[:, 2]
+    orient = jnp.sign(area2)
+    orient = jnp.where(orient == 0, 1.0, orient)
+    inv_area = orient / jnp.maximum(jnp.abs(area2), 1e-12)
+
+    # orient edges so inside => all >= 0, and normalize to barycentric coords
+    bary_a = e_bc * inv_area[:, None]
+    bary_b = e_ca * inv_area[:, None]
+    bary_c = e_ab * inv_area[:, None]
+
+    # screen-linear inverse depth: 1/z(P) = sum_i bary_i(P) / z_i
+    iz = (
+        bary_a * proj.inv_z[faces[:, 0], None]
+        + bary_b * proj.inv_z[faces[:, 1], None]
+        + bary_c * proj.inv_z[faces[:, 2], None]
+    )
+
+    coef = jnp.stack([bary_a, bary_b, bary_c, iz], axis=-1)  # (F, 3, 4)
+
+    valid = (
+        proj.in_front[faces[:, 0]]
+        & proj.in_front[faces[:, 1]]
+        & proj.in_front[faces[:, 2]]
+        & (jnp.abs(area2) > 1e-12)
+    )
+
+    def safe_len(d):
+        # sqrt with an eps inside: zero-length edges of degenerate (padding)
+        # faces would otherwise produce NaN gradients through norm at 0
+        return jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12)
+
+    edge_len = jnp.stack([safe_len(d_bc), safe_len(d_ca), safe_len(d_ab)], axis=-1)
+    edge_inv_len = jnp.abs(area2)[:, None] / jnp.maximum(edge_len, 1e-12)
+    return coef, valid, edge_inv_len
+
+
+def _pixel_matrix(H: int, W: int) -> jnp.ndarray:
+    py, px = jnp.meshgrid(
+        jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32),
+        indexing="ij",
+    )
+    return jnp.stack(
+        [px.reshape(-1) + 0.5, py.reshape(-1) + 0.5, jnp.ones(H * W)], axis=-1
+    )  # (P, 3), pixel centers
+
+
+def _pad_faces(faces: np.ndarray, chunk: int) -> np.ndarray:
+    F = faces.shape[0]
+    pad = (-F) % chunk
+    if pad:
+        faces = np.concatenate([faces, np.zeros((pad, 3), faces.dtype)], 0)
+    return faces
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W", "chunk"))
+def rasterize(
+    proj_sx, proj_sy, proj_inv_z, proj_front,
+    faces: jnp.ndarray,  # (F, 3) padded to multiple of chunk
+    valid_faces: jnp.ndarray,  # (F,) bool (padding entries False)
+    H: int,
+    W: int,
+    chunk: int = 1024,
+):
+    """Hard z-buffer pass. Returns (face_id (P,) int32 [-1 = background],
+    bary (P, 3), inv_z (P,))."""
+    proj = Projected(proj_sx, proj_sy, proj_inv_z, proj_front)
+    coef, cvalid, _ = _face_coefficients(proj, faces)
+    valid = valid_faces & cvalid
+    F = faces.shape[0]
+    n_chunks = F // chunk
+
+    pix = _pixel_matrix(H, W)  # (P, 3)
+    P = pix.shape[0]
+
+    coef_chunks = coef.reshape(n_chunks, chunk, 3, 4)
+    valid_chunks = valid.reshape(n_chunks, chunk)
+
+    def body(carry, inp):
+        best_iz, best_face = carry
+        ci, (coef_c, valid_c) = inp
+        # (P, 3) @ (3, chunk*4) -> (P, chunk, 4) : MXU
+        vals = (pix @ coef_c.transpose(1, 0, 2).reshape(3, chunk * 4)).reshape(
+            P, chunk, 4
+        )
+        b0, b1, b2, iz = vals[..., 0], vals[..., 1], vals[..., 2], vals[..., 3]
+        inside = (b0 >= 0) & (b1 >= 0) & (b2 >= 0) & valid_c[None, :] & (iz > 0)
+        iz_masked = jnp.where(inside, iz, -jnp.inf)
+        local_best = jnp.argmax(iz_masked, axis=1)  # (P,)
+        local_iz = jnp.take_along_axis(iz_masked, local_best[:, None], 1)[:, 0]
+        better = local_iz > best_iz
+        best_iz = jnp.where(better, local_iz, best_iz)
+        best_face = jnp.where(better, ci * chunk + local_best, best_face)
+        return (best_iz, best_face), None
+
+    init = (jnp.full((P,), -jnp.inf), jnp.full((P,), -1, jnp.int32))
+    (best_iz, best_face), _ = jax.lax.scan(
+        body, init, (jnp.arange(n_chunks), (coef_chunks, valid_chunks))
+    )
+
+    hit = best_face >= 0
+    face_id = jnp.where(hit, best_face, 0)
+
+    # recompute barycentrics for the winning face only (cheap gather + dot)
+    win_coef = coef[face_id]  # (P, 3, 4)
+    bary = jnp.einsum("pc,pcb->pb", pix, win_coef[..., :3])
+    bary = jnp.clip(bary, 0.0, 1.0)
+    bary = bary / jnp.maximum(bary.sum(-1, keepdims=True), 1e-12)
+
+    return jnp.where(hit, best_face, -1), bary, jnp.where(hit, best_iz, 0.0)
+
+
+def vertex_normals(vertices: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
+    """Area-weighted smooth vertex normals via segment-sum scatter."""
+    V = vertices.shape[0]
+    fv = vertices[faces]  # (F, 3, 3)
+    fn = jnp.cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0])  # area-weighted
+    n = jnp.zeros((V, 3))
+    for i in range(3):
+        n = n.at[faces[:, i]].add(fn)
+    return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+
+
+def render_mesh(
+    vertices: jnp.ndarray,  # (V, 3) world space
+    faces: jnp.ndarray,  # (F, 3) int32 (pad-safe)
+    pose: jnp.ndarray,  # (4, 4) camera-to-world
+    H: int,
+    W: int,
+    focal: float,
+    vertex_colors: jnp.ndarray | None = None,  # (V, 3) or None -> white
+    light_dir: jnp.ndarray | None = None,  # (3,) world; default mirrors nr
+    ambient: float = 0.5,
+    diffuse: float = 0.5,
+    background: float = 0.0,
+    chunk: int = 1024,
+):
+    """Shaded hard rasterization -> dict(rgb (H,W,3), mask (H,W), depth (H,W)).
+
+    With white colors and the default two-sided lambertian term this plays the
+    role of the reference's ``render_one_batch`` GT template render
+    (models/utils.py:108-125): detached target images for the L1/mask losses.
+    """
+    faces = jnp.asarray(faces, jnp.int32)
+    F = faces.shape[0]
+    pad = (-F) % chunk
+    if pad:
+        faces = jnp.concatenate([faces, jnp.zeros((pad, 3), jnp.int32)], 0)
+    valid = jnp.arange(faces.shape[0]) < F
+
+    proj = project_vertices(vertices, pose, H, W, focal)
+    face_id, bary, inv_z = rasterize(
+        proj.sx, proj.sy, proj.inv_z, proj.in_front, faces, valid, H, W, chunk
+    )
+
+    hit = face_id >= 0
+    fid = jnp.where(hit, face_id, 0)
+
+    normals = vertex_normals(vertices, faces)
+    tri = faces[fid]  # (P, 3)
+    n_pix = jnp.einsum("pb,pbc->pc", bary, normals[tri])
+    n_pix = n_pix / jnp.maximum(
+        jnp.linalg.norm(n_pix, axis=-1, keepdims=True), 1e-12
+    )
+
+    if light_dir is None:
+        light_dir = jnp.asarray([0.0, 1.0, 0.0])
+    light_dir = light_dir / jnp.linalg.norm(light_dir)
+    # two-sided lambert so backfacing normals don't go black (nr renders
+    # closed meshes where this matches one-sided in practice)
+    lambert = jnp.abs(jnp.sum(n_pix * light_dir, axis=-1))
+    shade = ambient + diffuse * lambert
+
+    if vertex_colors is None:
+        base = jnp.ones((vertices.shape[0], 3))
+    else:
+        base = vertex_colors
+    c_pix = jnp.einsum("pb,pbc->pc", bary, base[tri])
+    rgb = jnp.clip(c_pix * shade[:, None], 0.0, 1.0)
+    rgb = jnp.where(hit[:, None], rgb, background)
+
+    depth = jnp.where(hit, 1.0 / jnp.maximum(inv_z, 1e-12), 0.0)
+    return {
+        "rgb": rgb.reshape(H, W, 3),
+        "mask": hit.reshape(H, W),
+        "depth": depth.reshape(H, W),
+        "face_id": face_id.reshape(H, W),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W", "chunk"))
+def _soft_core(
+    pix, coef, valid, edge_inv_len, iz_face, colors_face, H, W,
+    sigma, gamma, background, chunk,
+):
+    F = coef.shape[0]
+    n_chunks = F // chunk
+    P = pix.shape[0]
+
+    coef_chunks = coef.reshape(n_chunks, chunk, 3, 4)
+    valid_chunks = valid.reshape(n_chunks, chunk)
+    scale_chunks = edge_inv_len.reshape(n_chunks, chunk, 3)
+    iz_chunks = iz_face.reshape(n_chunks, chunk)
+    col_chunks = colors_face.reshape(n_chunks, chunk, 3)
+
+    eps = 1e-20
+
+    def body(carry, inp):
+        sil_prod, num, den = carry
+        coef_c, valid_c, scale_c, izf, colf = inp
+        vals = (pix @ coef_c.transpose(1, 0, 2).reshape(3, chunk * 4)).reshape(
+            P, chunk, 4
+        )
+        bary = vals[..., :3]  # normalized edge values (inside => all >= 0)
+        # signed pixel distance to the triangle ~ min over edges of
+        # (bary * 2*area / edge_len)
+        d = jnp.min(bary * scale_c[None], axis=-1)  # (P, chunk)
+        prob = jax.nn.sigmoid(d / sigma)
+        prob = jnp.where(valid_c[None], prob, 0.0)
+        sil_prod = sil_prod * jnp.prod(1.0 - prob, axis=1)
+
+        w = prob * jnp.exp(jnp.clip(izf[None] / gamma, -60.0, 60.0))
+        num = num + jnp.einsum("pf,fc->pc", w, colf)
+        den = den + jnp.sum(w, axis=1)
+        return (sil_prod, num, den), None
+
+    init = (jnp.ones((P,)), jnp.zeros((P, 3)), jnp.zeros((P,)))
+    (sil_prod, num, den), _ = jax.lax.scan(
+        body, init, (coef_chunks, valid_chunks, scale_chunks, iz_chunks, col_chunks)
+    )
+    silhouette = 1.0 - sil_prod
+    w_bg = jnp.exp(jnp.asarray(0.0) / gamma)  # background at inv_z = 0
+    rgb = (num + w_bg * background) / (den[:, None] + w_bg + eps)
+    return rgb.reshape(H, W, 3), silhouette.reshape(H, W)
+
+
+def soft_render_mesh(
+    vertices: jnp.ndarray,
+    faces: jnp.ndarray,
+    pose: jnp.ndarray,
+    H: int,
+    W: int,
+    focal: float,
+    vertex_colors: jnp.ndarray | None = None,
+    light_dir: jnp.ndarray | None = None,
+    ambient: float = 0.5,
+    diffuse: float = 0.5,
+    sigma: float = 1.0,
+    gamma: float = 0.005,
+    background: float = 0.0,
+    chunk: int = 1024,
+):
+    """Differentiable SoftRas-style render -> dict(rgb, silhouette).
+
+    Gradients flow to ``vertices`` through the edge-distance sigmoids and the
+    depth softmax; used by PoseOptimizer/VPoserOptimizer which differentiate
+    the CLIP score through the renderer (pose_generation.py:120-127).
+    ``sigma`` is in pixels; ``gamma`` tempers depth blending.
+    """
+    faces = jnp.asarray(faces, jnp.int32)
+    F = faces.shape[0]
+    pad = (-F) % chunk
+    if pad:
+        faces = jnp.concatenate([faces, jnp.zeros((pad, 3), jnp.int32)], 0)
+    valid_pad = jnp.arange(faces.shape[0]) < F
+
+    proj = project_vertices(vertices, pose, H, W, focal)
+    coef, cvalid, edge_inv_len = _face_coefficients(proj, faces)
+    valid = valid_pad & cvalid
+
+    # per-face flat shading (cheap; soft blending smooths it out)
+    fv = vertices[faces]
+    fn = jnp.cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0])
+    fn = fn / jnp.sqrt(jnp.sum(fn * fn, axis=-1, keepdims=True) + 1e-12)
+    if light_dir is None:
+        light_dir = jnp.asarray([0.0, 1.0, 0.0])
+    light_dir = light_dir / jnp.linalg.norm(light_dir)
+    lambert = jnp.abs(fn @ light_dir)
+    shade = ambient + diffuse * lambert
+    if vertex_colors is None:
+        base = jnp.ones((faces.shape[0], 3))
+    else:
+        base = vertex_colors[faces].mean(axis=1)
+    colors_face = jnp.clip(base * shade[:, None], 0.0, 1.0)
+
+    iz_face = (
+        proj.inv_z[faces[:, 0]] + proj.inv_z[faces[:, 1]] + proj.inv_z[faces[:, 2]]
+    ) / 3.0
+
+    pix = _pixel_matrix(H, W)
+    rgb, sil = _soft_core(
+        pix, coef, valid, edge_inv_len, iz_face, colors_face, H, W,
+        sigma, gamma, background, chunk,
+    )
+    return {"rgb": rgb, "silhouette": sil}

@@ -1,0 +1,219 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from avatarclip_tpu.render import cameras, raster
+
+
+def look_at_pose(eye, at=(0.0, 0.0, 0.0)):
+    return cameras.lookat(jnp.asarray(eye), jnp.asarray(at), jnp.asarray([0.0, 1.0, 0.0]))
+
+
+def test_lookat_properties():
+    pose = np.asarray(look_at_pose([0.0, 0.5, 2.0], [0.0, 0.1, 0.0]))
+    R = pose[:3, :3]
+    np.testing.assert_allclose(R.T @ R, np.eye(3), atol=1e-6)
+    np.testing.assert_allclose(pose[:3, 3], [0.0, 0.5, 2.0], atol=1e-6)
+    # camera z axis points from at to eye
+    z = pose[:3, 2]
+    expected = np.array([0.0, 0.4, 2.0])
+    expected /= np.linalg.norm(expected)
+    np.testing.assert_allclose(z, expected, atol=1e-6)
+
+
+def test_pixel_grid_rays_unit_norm_and_center():
+    pose = look_at_pose([0.0, 0.0, 2.0])
+    H = W = 32
+    focal = cameras.focal_from_fov(W, np.deg2rad(60.0))
+    rays_o, rays_d = cameras.pixel_grid_rays(pose, H, W, focal)
+    norms = np.linalg.norm(np.asarray(rays_d), axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+    # center pixel looks toward origin (-z from the eye)
+    center = np.asarray(rays_d[H // 2, W // 2])
+    assert center[2] < -0.99
+
+
+def test_near_far_from_sphere():
+    rays_o = jnp.array([[0.0, 0.0, 2.0]])
+    rays_d = jnp.array([[0.0, 0.0, -1.0]])
+    near, far = cameras.near_far_from_sphere(rays_o, rays_d)
+    np.testing.assert_allclose(np.asarray(near), [[1.0]], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(far), [[3.0]], atol=1e-6)
+
+
+def test_camera_sampling_distributions():
+    keys = jax.random.split(jax.random.PRNGKey(0), 200)
+    eyes = np.stack([np.asarray(cameras.random_eye_normal(k)[0]) for k in keys[:50]])
+    d = np.linalg.norm(eyes, axis=-1)
+    assert d.min() >= 1.0 and d.max() <= 2.0
+    ats = np.stack([np.asarray(cameras.random_at(k)) for k in keys[:50]])
+    assert np.abs(ats).max() <= 0.3
+    eye, theta, phi, front = cameras.random_eye(
+        keys[0], is_front=1, distance=0.4, theta_std=np.pi / 12
+    )
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(eye)), 0.4, atol=1e-5)
+    assert int(front) == 1
+
+
+def test_dilate_mask_matches_scipy():
+    from scipy import ndimage
+
+    m = np.zeros((64, 64), bool)
+    m[30:34, 28:30] = True
+    ours = np.asarray(cameras.dilate_mask(jnp.asarray(m), iterations=10))
+    struct = ndimage.generate_binary_structure(2, 2)
+    ref = ndimage.binary_dilation(m, structure=struct, iterations=10)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_select_silhouette_rays_budget():
+    m = jnp.zeros((64, 64), bool).at[20:40, 25:35].set(True)
+    idx, dilated, sel = cameras.select_silhouette_rays(
+        jax.random.PRNGKey(0), m, n_rays=256, dilate_iters=3
+    )
+    assert idx.shape == (256,)
+    assert len(np.unique(np.asarray(idx))) == 256
+    # dilated mask has 26*16=416 > 256 px: every selected ray is inside it
+    flat = np.asarray(dilated).reshape(-1)
+    assert flat[np.asarray(idx)].all()
+    # over-budget case: all in-mask pixels get selected, remainder outside
+    idx2, dilated2, _ = cameras.select_silhouette_rays(
+        jax.random.PRNGKey(1), m, n_rays=1024, dilate_iters=3
+    )
+    flat2 = np.asarray(dilated2).reshape(-1)
+    assert flat2[np.asarray(idx2)].sum() == flat2.sum()
+
+
+# ---------------------------------------------------------------------------
+# rasterizer
+# ---------------------------------------------------------------------------
+
+
+def unit_quad(z=0.0, half=0.5):
+    verts = jnp.asarray(
+        [[-half, -half, z], [half, -half, z], [half, half, z], [-half, half, z]],
+        jnp.float32,
+    )
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    return verts, faces
+
+
+def test_rasterize_quad_mask_and_depth():
+    verts, faces = unit_quad(z=0.0, half=0.5)
+    pose = look_at_pose([0.0, 0.0, 2.0])
+    H = W = 64
+    focal = cameras.focal_from_fov(W, np.deg2rad(60.0))
+    out = raster.render_mesh(verts, faces, pose, H, W, focal, chunk=64)
+    mask = np.asarray(out["mask"])
+    # quad half-extent 0.5 at distance 2 with f = 0.5*64/tan(30deg)
+    half_px = focal * 0.5 / 2.0
+    expect_frac = (2 * half_px) ** 2 / (H * W)
+    assert abs(mask.mean() - expect_frac) < 0.02
+    # depth at center = 2.0
+    depth = np.asarray(out["depth"])
+    assert abs(depth[H // 2, W // 2] - 2.0) < 1e-3
+    # mask is centered and square-ish
+    rows = np.where(mask.any(1))[0]
+    cols = np.where(mask.any(0))[0]
+    assert abs((rows.min() + rows.max()) / 2 - H / 2) < 1.5
+    assert abs((cols.min() + cols.max()) / 2 - W / 2) < 1.5
+
+
+def test_rasterize_occlusion_order():
+    # two quads, red in front (z=0.5), blue behind (z=-0.5)
+    vf, ff = unit_quad(z=0.5, half=0.3)
+    vb, fb = unit_quad(z=-0.5, half=0.3)
+    verts = jnp.concatenate([vf, vb], axis=0)
+    faces = np.concatenate([ff, fb + 4], axis=0)
+    colors = jnp.asarray(
+        [[1, 0, 0]] * 4 + [[0, 0, 1]] * 4, jnp.float32
+    )
+    pose = look_at_pose([0.0, 0.0, 2.0])
+    H = W = 32
+    focal = cameras.focal_from_fov(W, np.deg2rad(60.0))
+    out = raster.render_mesh(
+        verts, faces, pose, H, W, focal, vertex_colors=colors, ambient=1.0,
+        diffuse=0.0, chunk=64,
+    )
+    rgb = np.asarray(out["rgb"])
+    center = rgb[H // 2, W // 2]
+    assert center[0] > 0.9 and center[2] < 0.1  # red wins
+    depth = np.asarray(out["depth"])
+    assert abs(depth[H // 2, W // 2] - 1.5) < 1e-3
+
+
+def test_rasterize_agrees_with_ray_convention():
+    """A vertex placed along a known pixel ray must rasterize to that pixel."""
+    pose = look_at_pose([0.0, 0.0, 2.0])
+    H = W = 64
+    focal = cameras.focal_from_fov(W, np.deg2rad(60.0))
+    rays_o, rays_d = cameras.pixel_grid_rays(pose, H, W, focal)
+    px, py = 40, 22
+    p_world = np.asarray(rays_o[py, px] + 1.7 * rays_d[py, px])
+    # tiny triangle around that point, facing the camera
+    verts = jnp.asarray(
+        [
+            p_world + np.array([-0.02, -0.02, 0]),
+            p_world + np.array([0.02, -0.02, 0]),
+            p_world + np.array([0.0, 0.03, 0]),
+        ],
+        jnp.float32,
+    )
+    faces = np.array([[0, 1, 2]], np.int32)
+    out = raster.render_mesh(verts, faces, pose, H, W, focal, chunk=64)
+    mask = np.asarray(out["mask"])
+    ys, xs = np.where(mask)
+    assert len(ys) > 0
+    assert abs(xs.mean() - (px + 0.5)) < 1.5
+    assert abs(ys.mean() - (py + 0.5)) < 1.5
+
+
+def test_soft_render_matches_hard_silhouette():
+    verts, faces = unit_quad(z=0.0, half=0.5)
+    pose = look_at_pose([0.0, 0.0, 2.0])
+    H = W = 64
+    focal = cameras.focal_from_fov(W, np.deg2rad(60.0))
+    hard = raster.render_mesh(verts, faces, pose, H, W, focal, chunk=64)
+    soft = raster.soft_render_mesh(
+        verts, faces, pose, H, W, focal, sigma=0.3, chunk=64
+    )
+    sil = np.asarray(soft["silhouette"])
+    mask = np.asarray(hard["mask"]).astype(np.float32)
+    # interiors/backgrounds agree; only a thin boundary band differs
+    assert np.abs((sil > 0.5).astype(np.float32) - mask).mean() < 0.02
+
+
+def test_soft_render_gradients_flow_to_vertices():
+    verts, faces = unit_quad(z=0.0, half=0.4)
+    pose = look_at_pose([0.0, 0.0, 2.0])
+    H = W = 32
+    focal = cameras.focal_from_fov(W, np.deg2rad(60.0))
+
+    def loss(v):
+        out = raster.soft_render_mesh(v, faces, pose, H, W, focal, sigma=1.0, chunk=64)
+        return jnp.sum(out["silhouette"])
+
+    g = jax.grad(loss)(verts)
+    g = np.asarray(g)
+    assert np.all(np.isfinite(g))
+    assert np.abs(g).sum() > 1e-3
+    # growing the quad increases silhouette area: gradient wrt outward
+    # x-coordinate of right-side vertices should be positive
+    assert g[1, 0] > 0 and g[2, 0] > 0
+
+
+def test_render_smpl_template_nonempty():
+    from avatarclip_tpu import assets
+
+    model = assets.load_smpl()
+    v = np.asarray(model.v_template) @ cameras.BODY_TO_WORLD.T
+    pose = look_at_pose([0.0, 0.0, 2.2])
+    H = W = 128
+    focal = cameras.focal_from_fov(W, np.deg2rad(60.0))
+    out = raster.render_mesh(
+        jnp.asarray(v), model.faces, pose, H, W, focal, chunk=1024
+    )
+    mask = np.asarray(out["mask"])
+    assert 0.02 < mask.mean() < 0.6
+    rgb = np.asarray(out["rgb"])
+    assert rgb[mask].mean() > 0.3
