@@ -49,8 +49,22 @@ def axis_angle_to_matrix(axis_angle: jnp.ndarray) -> jnp.ndarray:
 
 
 def _sqrt_positive_part(x: jnp.ndarray) -> jnp.ndarray:
-    """sqrt(max(0, x)) with a subgradient of zero where x is 0."""
-    return jnp.sqrt(jnp.maximum(x, 0.0))
+    """sqrt(max(0, x)) with a subgradient of zero where x <= 0.
+
+    The naive sqrt(max(x, 0)) has an infinite gradient at 0, which poisons
+    optimization through 6d->matrix->quat chains (MotionOptimizer
+    differentiates through this every step)."""
+    positive = x > 0
+    safe = jnp.where(positive, x, 1.0)
+    return jnp.where(positive, jnp.sqrt(safe), 0.0)
+
+
+def _safe_norm(x: jnp.ndarray, axis=-1, keepdims=True) -> jnp.ndarray:
+    """|x| with a finite (zero-direction) gradient at x = 0."""
+    sq = jnp.sum(x * x, axis=axis, keepdims=keepdims)
+    positive = sq > 0
+    safe = jnp.where(positive, sq, 1.0)
+    return jnp.where(positive, jnp.sqrt(safe), 0.0)
 
 
 def matrix_to_quaternion(matrix: jnp.ndarray) -> jnp.ndarray:
@@ -124,7 +138,7 @@ def quaternion_to_axis_angle(quaternions: jnp.ndarray) -> jnp.ndarray:
     Uses the sin(x)/x-stable small-angle expansion from pytorch3d
     (AvatarAnimate/models/utils.py:82-108 semantics).
     """
-    norms = jnp.linalg.norm(quaternions[..., 1:], axis=-1, keepdims=True)
+    norms = _safe_norm(quaternions[..., 1:])
     half_angles = jnp.arctan2(norms, quaternions[..., :1])
     angles = 2.0 * half_angles
     eps = 1e-6
@@ -140,7 +154,7 @@ def quaternion_to_axis_angle(quaternions: jnp.ndarray) -> jnp.ndarray:
 
 def axis_angle_to_quaternion(axis_angle: jnp.ndarray) -> jnp.ndarray:
     """(..., 3) axis-angle -> (..., 4) real-first quaternions."""
-    angles = jnp.linalg.norm(axis_angle, axis=-1, keepdims=True)
+    angles = _safe_norm(axis_angle)
     half_angles = angles * 0.5
     eps = 1e-6
     small = jnp.abs(angles) < eps
@@ -165,9 +179,16 @@ def rotation_6d_to_matrix(d6: jnp.ndarray) -> jnp.ndarray:
     (reference: AvatarAnimate/models/utils.py:111-130).
     """
     a1, a2 = d6[..., :3], d6[..., 3:]
-    b1 = a1 / jnp.linalg.norm(a1, axis=-1, keepdims=True)
-    b2 = a2 - jnp.sum(b1 * a2, axis=-1, keepdims=True) * b1
-    b2 = b2 / jnp.linalg.norm(b2, axis=-1, keepdims=True)
+
+    def normalize(v):
+        # rsqrt with a floor: finite gradients when a degenerate 6d input
+        # (e.g. from an untrained decoder) produces a near-zero row
+        return v * jax.lax.rsqrt(
+            jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), 1e-12)
+        )
+
+    b1 = normalize(a1)
+    b2 = normalize(a2 - jnp.sum(b1 * a2, axis=-1, keepdims=True) * b1)
     b3 = jnp.cross(b1, b2)
     return jnp.stack([b1, b2, b3], axis=-2)
 

@@ -152,10 +152,14 @@ def sdf_with_gradient(params: Params, cfg: SDFConfig, pts: jnp.ndarray):
     per-point spatial gradient, and the whole computation stays inside the
     jitted training graph (higher-order AD handles the eikonal term).
     """
-    out, vjp_fn = jax.vjp(lambda p: sdf_apply(params, cfg, p), pts)
-    # broadcast a one-hot row rather than materializing a (P, d_out) constant
-    one_hot = jnp.zeros((cfg.d_out,), out.dtype).at[0].set(1.0)
-    (grad,) = vjp_fn(jnp.broadcast_to(one_hot, out.shape))
+    def f(p):
+        out = sdf_apply(params, cfg, p)
+        # each point's sdf depends only on that point, so the gradient of the
+        # scalar sum IS the per-point spatial gradient — one reverse pass with
+        # the simplest possible cotangent (a scalar 1)
+        return jnp.sum(out[..., 0]), out
+
+    grad, out = jax.grad(f, has_aux=True)(pts)
     return out[..., :1], out[..., 1:], grad
 
 

@@ -1,0 +1,163 @@
+"""Synthetic dataset + conf generation for smoke tests, dry runs and benches.
+
+Generates a tiny Blender-style multiview dataset (circle silhouettes + orbit
+cameras, same on-disk contract as the ShapeGen 108-view renderer output,
+reference: AvatarGen/ShapeGen/render.py:109-139) and reference-schema confs at
+selectable scale, so every entry point runs without any external asset.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+
+def write_synthetic_views(out_dir: str, n_views: int = 8, res: int = 64) -> str:
+    import imageio.v2 as imageio
+
+    os.makedirs(os.path.join(out_dir, "img"), exist_ok=True)
+    frames = []
+    for i in range(n_views):
+        a = 2 * np.pi * i / n_views
+        eye = np.array([2.0 * np.sin(a), 0.0, 2.0 * np.cos(a)], np.float32)
+        z = eye / np.linalg.norm(eye)
+        x = np.cross([0, 1, 0], z)
+        x = x / np.linalg.norm(x)
+        y = np.cross(z, x)
+        m = np.eye(4, dtype=np.float32)
+        m[:3, 0], m[:3, 1], m[:3, 2], m[:3, 3] = x, y, z, eye
+        img = np.zeros((res, res, 3), np.uint8)
+        yy, xx = np.mgrid[0:res, 0:res]
+        circle = (yy - res / 2) ** 2 + (xx - res / 2) ** 2 < (res / 4) ** 2
+        img[circle] = 255
+        imageio.imwrite(os.path.join(out_dir, "img", f"{i:04d}.png"), img)
+        frames.append({"file_path": f"img/{i:04d}", "transform_matrix": m.tolist()})
+    with open(os.path.join(out_dir, "transforms_train.json"), "w") as f:
+        json.dump({"camera_angle_x": float(np.deg2rad(60.0)), "frames": frames}, f)
+    return out_dir
+
+
+def make_conf_text(
+    exp_dir: str,
+    data_dir: str,
+    scale: str = "tiny",  # tiny | small | full
+    end_iter: int = 10,
+    prompt: str = "a 3D rendering of a test person in unreal engine",
+) -> str:
+    if scale == "full":
+        sdf = dict(d_out=257, d_hidden=256, n_layers=4, skip=4, multires=6)
+        color = dict(d_feature=256, d_hidden=256, n_layers=2)
+        samples = dict(n_samples=32, n_importance=32, steps=4)
+        max_ray = 112 * 112
+        clip_model = "vit_b32"
+        batch = 512
+        extra = ""
+    elif scale == "small":
+        sdf = dict(d_out=129, d_hidden=128, n_layers=3, skip=3, multires=6)
+        color = dict(d_feature=128, d_hidden=128, n_layers=1)
+        samples = dict(n_samples=32, n_importance=32, steps=4)
+        max_ray = 7000
+        clip_model = "vit_b32"
+        batch = 512
+        extra = ""
+    else:
+        sdf = dict(d_out=17, d_hidden=16, n_layers=2, skip=5, multires=2)
+        color = dict(d_feature=16, d_hidden=16, n_layers=2)
+        samples = dict(n_samples=8, n_importance=8, steps=2)
+        max_ray = 256
+        clip_model = "tiny"
+        batch = 64
+        extra = "silhouette_res = 32\n    gt_render_res = 64"
+    return f"""
+general {{
+    base_exp_dir = {exp_dir}
+}}
+dataset {{
+    data_dir = {data_dir}
+}}
+train {{
+    learning_rate = 5e-4
+    learning_rate_alpha = 0.05
+    end_iter = {end_iter}
+    batch_size = {batch}
+    max_ray_num = {max_ray}
+    validate_resolution_level = 4
+    warm_up_end = 500
+    anneal_end = 0
+    use_white_bkgd = False
+    save_freq = 100000
+    val_freq = 100000
+    val_mesh_freq = 100000
+    report_freq = 100
+    igr_weight = 0.1
+    mask_weight = 1.0
+    clip_weight = 1.0
+    add_no_texture = True
+    texture_cast_light = True
+    use_face_prompt = True
+    use_back_prompt = True
+    use_silhouettes = True
+    head_height = 0.7
+    seed = 0
+    {extra}
+}}
+clip {{
+    model = {clip_model}
+    prompt = {prompt}
+    face_prompt = a 3D rendering of the face of a test person in unreal engine
+    back_prompt = a 3D rendering of the back of a test person in unreal engine
+}}
+model {{
+    sdf_network {{
+        d_out = {sdf['d_out']}
+        d_in = 3
+        d_hidden = {sdf['d_hidden']}
+        n_layers = {sdf['n_layers']}
+        skip_in = [{sdf['skip']}]
+        multires = {sdf['multires']}
+        bias = 0.5
+        scale = 1.0
+        geometric_init = True
+        weight_norm = True
+    }}
+    variance_network {{
+        init_val = 0.3
+    }}
+    rendering_network {{
+        d_feature = {color['d_feature']}
+        mode = no_view_dir
+        d_in = 6
+        d_out = 3
+        d_hidden = {color['d_hidden']}
+        n_layers = {color['n_layers']}
+        weight_norm = True
+        multires_view = 0
+        squeeze_out = True
+        extra_color = True
+    }}
+    neus_renderer {{
+        n_samples = {samples['n_samples']}
+        n_importance = {samples['n_importance']}
+        n_outside = 0
+        up_sample_steps = {samples['steps']}
+        perturb = 1.0
+        extra_color = True
+    }}
+}}
+"""
+
+
+def make_runner(tmp_dir: str, scale: str = "tiny", res: int = 64, n_views: int = 4):
+    """Fully self-contained Runner at the requested scale."""
+    from .. import config as config_mod
+    from .appearance import Runner
+
+    data_dir = write_synthetic_views(
+        os.path.join(tmp_dir, "views"), n_views=n_views, res=res
+    )
+    conf = config_mod.parse_string(
+        make_conf_text(os.path.join(tmp_dir, "exp"), data_dir, scale)
+    )
+    return Runner(None, mode="none", conf=conf)

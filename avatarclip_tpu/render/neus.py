@@ -72,7 +72,14 @@ def sample_pdf(
     else:
         u = jax.random.uniform(rng, (R, n_samples))
 
-    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    # searchsorted(side='right') as a vectorized comparison count: the index
+    # of the first cdf bin > u equals #{j : cdf_j <= u}. A (R, B, N) boolean
+    # reduction maps onto the VPU; the vmapped searchsorted alternative lowers
+    # to per-row while loops that both compile and run orders of magnitude
+    # slower on TPU.
+    inds = jnp.sum(
+        (cdf[:, :, None] <= u[:, None, :]).astype(jnp.int32), axis=1
+    )
     below = jnp.maximum(inds - 1, 0)
     above = jnp.minimum(inds, cdf.shape[-1] - 1)
 
@@ -125,6 +132,35 @@ def up_sample(
     return sample_pdf(z_vals, weights, n_importance, rng=None)
 
 
+def _merge_sorted(a: jnp.ndarray, b: jnp.ndarray):
+    """Merge two per-row sorted arrays (R, A) and (R, B) -> (R, A+B) sorted,
+    returning (merged_positions_of_a, positions_of_b).
+
+    Ranks come from vectorized pairwise comparison counts (A*B booleans per
+    row) instead of a general sort — both samplings are already sorted, and
+    tiny per-row bitonic sorts compile poorly on TPU (each upsample step's
+    sort ballooned whole-graph compile time).
+    """
+    A, B = a.shape[-1], b.shape[-1]
+    # a_i goes after all a_j (j<i) and all b_k < a_i (ties: a first)
+    pos_a = jnp.arange(A)[None, :] + jnp.sum(
+        (b[:, None, :] < a[:, :, None]).astype(jnp.int32), axis=-1
+    )
+    pos_b = jnp.arange(B)[None, :] + jnp.sum(
+        (a[:, None, :] <= b[:, :, None]).astype(jnp.int32), axis=-1
+    )
+    return pos_a, pos_b
+
+
+def _scatter_rows(pos_a, vals_a, pos_b, vals_b, total: int):
+    R = pos_a.shape[0]
+    out = jnp.zeros((R, total), vals_a.dtype)
+    row = jnp.arange(R)[:, None]
+    out = out.at[row, pos_a].set(vals_a)
+    out = out.at[row, pos_b].set(vals_b)
+    return out
+
+
 def cat_z_vals(
     sdf_fn,
     rays_o: jnp.ndarray,
@@ -134,17 +170,17 @@ def cat_z_vals(
     sdf: jnp.ndarray,
     last: bool,
 ):
-    """Merge-sort new samples into the ray (renderer.py:179-193)."""
-    z_all = jnp.concatenate([z_vals, new_z_vals], axis=-1)
-    order = jnp.argsort(z_all, axis=-1)
-    z_sorted = jnp.take_along_axis(z_all, order, axis=-1)
+    """Merge new (sorted) importance samples into the (sorted) ray samples
+    (renderer.py:179-193) via rank-merge instead of a sort."""
+    A, B = z_vals.shape[-1], new_z_vals.shape[-1]
+    pos_a, pos_b = _merge_sorted(z_vals, new_z_vals)
+    z_merged = _scatter_rows(pos_a, z_vals, pos_b, new_z_vals, A + B)
     if last:
-        return z_sorted, sdf
+        return z_merged, sdf
     pts = rays_o[:, None, :] + rays_d[:, None, :] * new_z_vals[..., None]
     new_sdf = sdf_fn(pts.reshape(-1, 3)).reshape(new_z_vals.shape)
-    sdf_all = jnp.concatenate([sdf, new_sdf], axis=-1)
-    sdf_sorted = jnp.take_along_axis(sdf_all, order, axis=-1)
-    return z_sorted, sdf_sorted
+    sdf_merged = _scatter_rows(pos_a, sdf, pos_b, new_sdf, A + B)
+    return z_merged, sdf_merged
 
 
 def render_core_outside(

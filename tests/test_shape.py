@@ -1,0 +1,86 @@
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from avatarclip_tpu import assets
+from avatarclip_tpu.pipelines import shape
+
+
+def test_parse_prompt():
+    assert shape.parse_prompt("hello") == ("hello", 1.0, float("-inf"))
+    assert shape.parse_prompt("a man:2:0.5") == ("a man", 2.0, 0.5)
+
+
+def test_vae_decode_shapes():
+    smpl = assets.load_smpl()
+    vae, pretrained = shape.load_vae()
+    z = jnp.zeros((2, shape.LATENT_DIM))
+    v = shape.vae_decode(vae, smpl.v_template, z)
+    assert v.shape == (2, shape.N_VERTS, 3)
+    assert np.all(np.isfinite(np.asarray(v)))
+    mu, logvar = shape.vae_encode(
+        vae, jnp.zeros((2, shape.N_VERTS * 3))
+    )
+    assert mu.shape == (2, 16)
+
+
+def test_shape_gen_retrieval(tmp_path):
+    v, f, zero_v = shape.shape_gen(
+        "a person", "a strong man", clip_size="tiny", render_res=64
+    )
+    assert v.shape == (shape.N_VERTS, 3)
+    assert zero_v.shape == (shape.N_VERTS, 3)
+    assert len(f) > 1000
+    assert np.isfinite(v).all()
+
+
+def test_render_coarse_shape_writes_dataset(tmp_path):
+    smpl = assets.load_smpl()
+    pose = assets.t_pose()
+    out = str(tmp_path / "render")
+    n = shape.render_coarse_shape(
+        pose, np.asarray(smpl.v_template)[None], out, res=32
+    )
+    assert n == 108
+    with open(os.path.join(out, "transforms_train.json")) as fp:
+        meta = json.load(fp)
+    assert len(meta["frames"]) == 108
+    assert abs(meta["camera_angle_x"] - np.deg2rad(60)) < 1e-6
+    import imageio.v2 as imageio
+
+    img = imageio.imread(os.path.join(out, "img", "0000.png"))
+    assert img.shape[:2] == (32, 32)
+    # dataset loads back through the SMPLViewDataset contract
+    from avatarclip_tpu.config import parse_string
+    from avatarclip_tpu.pipelines.dataset import SMPLViewDataset
+
+    ds = SMPLViewDataset(parse_string(f"data_dir = {out}"))
+    assert ds.n_images == 108
+    assert ds.H == 32
+    # cameras at distance 2.2
+    eyes = np.asarray(ds.poses)[:, :3, 3]
+    np.testing.assert_allclose(np.linalg.norm(eyes, axis=1), 2.2, atol=1e-4)
+
+
+def test_shape_cli_gen(tmp_path, monkeypatch):
+    out_dir = str(tmp_path / "coarse")
+    # tiny clip keeps this fast: patch the default size used by the CLI
+    import avatarclip_tpu.pipelines.shape as shape_mod
+
+    orig = shape_mod.shape_gen
+
+    def fast_gen(*args, **kwargs):
+        kwargs["clip_size"] = "tiny"
+        kwargs["render_res"] = 64
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(shape_mod, "shape_gen", fast_gen)
+    shape_mod.main(
+        ["gen", "--target_txt", "a tall person", "--output_folder", out_dir]
+    )
+    files = os.listdir(out_dir)
+    assert files == ["a_tall_person.obj"]
