@@ -41,12 +41,23 @@ def _wn_from_weight(w: jnp.ndarray, b: jnp.ndarray) -> Params:
     return {"g": g, "v": w, "b": b}
 
 
-def linear_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    if "g" in p:  # weight-normalized
+def linear_apply(p: Params, x: jnp.ndarray, dtype: str = "float32") -> jnp.ndarray:
+    if "g" in p:  # weight-normalized (norm always in f32 for stability)
         v = p["v"]
         w = p["g"] * v / jnp.linalg.norm(v, axis=1, keepdims=True)
     else:
         w = p["w"]
+    if dtype != "float32":
+        dt = jnp.dtype(dtype)
+        # bf16 operands with f32 accumulation: halves the HBM traffic of the
+        # activation streams, which bounds the 800k-point MLP sweeps
+        return (
+            jnp.einsum(
+                "...i,oi->...o", x.astype(dt), w.astype(dt),
+                preferred_element_type=jnp.float32,
+            )
+            + p["b"]
+        )
     return x @ w.T + p["b"]
 
 
@@ -68,6 +79,8 @@ class SDFConfig:
     geometric_init: bool = True
     weight_norm: bool = True
     inside_outside: bool = False
+    dtype: str = "float32"  # matmul operand dtype ("bfloat16" on TPU)
+    use_pallas: bool = False  # fused Pallas kernel for sdf+gradient (TPU)
 
     @property
     def dims(self) -> list[int]:
@@ -130,12 +143,16 @@ def sdf_apply(params: Params, cfg: SDFConfig, pts: jnp.ndarray) -> jnp.ndarray:
         inputs = positional_encoding(inputs, cfg.multires)
     x = inputs
     n = len(cfg.dims)
+    act_dt = jnp.dtype(cfg.dtype)
     for l, lp in enumerate(params["layers"]):
         if l in cfg.skip_in:
-            x = jnp.concatenate([x, inputs], axis=-1) / np.sqrt(2.0)
-        x = linear_apply(lp, x)
+            x = jnp.concatenate([x, inputs.astype(x.dtype)], axis=-1) / np.sqrt(2.0)
+        x = linear_apply(lp, x, cfg.dtype)
         if l < n - 2:
-            x = _softplus100(x)
+            # store the inter-layer activation in the compute dtype: the 800k
+            # point sweeps are HBM-bound, f32 activations double the traffic
+            x = _softplus100(x).astype(act_dt)
+    x = x.astype(jnp.float32)
     return jnp.concatenate([x[..., :1] / cfg.scale, x[..., 1:]], axis=-1)
 
 
@@ -147,11 +164,18 @@ def sdf_with_gradient(params: Params, cfg: SDFConfig, pts: jnp.ndarray):
     """Returns (sdf (P,1), feature (P,F), gradient (P,3)) in one fused pass.
 
     Replaces the reference's autograd double-backward gradient
-    (fields.py:96-107) with a single batched VJP: the SDF at each point
-    depends only on that point, so vjp with a ones cotangent yields the exact
-    per-point spatial gradient, and the whole computation stays inside the
-    jitted training graph (higher-order AD handles the eikonal term).
+    (fields.py:96-107); with ``cfg.use_pallas`` the evaluation runs through
+    the fused Pallas kernel (ops/fused_sdf.py), otherwise as a single batched
+    XLA reverse pass (higher-order AD handles the eikonal term either way).
     """
+    if cfg.use_pallas:
+        from ..ops import fused_sdf
+
+        return fused_sdf.sdf_with_gradient_fused(params, cfg, pts)
+    return _sdf_with_gradient_xla(params, cfg, pts)
+
+
+def _sdf_with_gradient_xla(params: Params, cfg: SDFConfig, pts: jnp.ndarray):
     def f(p):
         out = sdf_apply(params, cfg, p)
         # each point's sdf depends only on that point, so the gradient of the
@@ -180,6 +204,7 @@ class ColorConfig:
     multires_view: int = 0
     squeeze_out: bool = True
     extra_color: bool = False
+    dtype: str = "float32"
 
     @property
     def dims(self) -> list[int]:
@@ -231,12 +256,16 @@ def color_apply(
 
     n = len(cfg.dims)
     extra_x = None
+    act_dt = jnp.dtype(cfg.dtype)
     for l, lp in enumerate(params["layers"]):
-        x = linear_apply(lp, x)
+        x = linear_apply(lp, x, cfg.dtype)
         if l < n - 2:
-            x = jax.nn.relu(x)
+            x = jax.nn.relu(x).astype(act_dt)
         if cfg.extra_color and l == n - 3:
-            extra_x = linear_apply(params["extra"], x)
+            extra_x = linear_apply(params["extra"], x, cfg.dtype)
+    x = x.astype(jnp.float32)
+    if extra_x is not None:
+        extra_x = extra_x.astype(jnp.float32)
     if cfg.extra_color:
         x = jnp.concatenate([x, extra_x], axis=-1)
     if cfg.squeeze_out:

@@ -56,10 +56,14 @@ to8b = lambda x: (255 * np.clip(x, 0, 1)).astype(np.uint8)
 
 
 def build_network_configs(conf):
+    compute_dtype = conf.get_string("train.compute_dtype", "bfloat16")
     sdf_kw = conf["model.sdf_network"].as_dict()
     sdf_kw["skip_in"] = tuple(sdf_kw.get("skip_in", [4]))
+    sdf_kw.setdefault("dtype", compute_dtype)
     sdf_cfg = nets.SDFConfig(**sdf_kw)
-    col_cfg = nets.ColorConfig(**conf["model.rendering_network"].as_dict())
+    col_kw = conf["model.rendering_network"].as_dict()
+    col_kw.setdefault("dtype", compute_dtype)
+    col_cfg = nets.ColorConfig(**col_kw)
     neus_kw = conf["model.neus_renderer"].as_dict()
     ncfg = neus.NeuSConfig(**neus_kw)
     return ncfg, neus.NetConfigs(sdf=sdf_cfg, color=col_cfg)
@@ -151,7 +155,11 @@ class TrainConfig:
     val_mesh_freq: int = 500
     validate_resolution_level: int = 1
     silhouette_res: int = 0  # 0 => derived from max_ray_num
-    gt_render_res: int = 256  # template GT render resolution (main.py:376)
+    gt_render_res: int = 0  # template GT render res; 0 = selection res
+    # (the reference renders at 256 then downsamples to the ray grid,
+    # main.py:376; rendering directly at the ray resolution removes a third
+    # of the rasterizer cost at the price of box-filter antialiasing)
+    remat: str = "none"  # none | full: rematerialize the NeuS render in bwd
     clip_stop_iter: int = 30010  # hard break (main.py:346-347)
 
     @property
@@ -340,7 +348,8 @@ class Runner:
             ), False
         else:
             params, pretrained = clip_convert.load_pretrained()
-            cfg = clip_model.VIT_B32
+            cdt = self.conf.get_string("train.compute_dtype", "bfloat16")
+            cfg = dataclasses.replace(clip_model.VIT_B32, compute_dtype=cdt)
         if not pretrained and model_name != "tiny":
             print(
                 "WARNING: no pretrained CLIP weights found "
@@ -489,7 +498,7 @@ class Runner:
         template_f = jnp.asarray(template_f)
 
         S = tc.sil_res
-        GT = tc.gt_render_res
+        GT = tc.gt_render_res or S
         SENSOR = ds.W  # ray grids sample the dataset sensor's frustum
         R = pmesh.pad_to_multiple(
             min(tc.max_ray_num, S * S) if tc.use_silhouettes else S * S
@@ -527,8 +536,12 @@ class Runner:
             gt = raster.render_mesh(
                 template_v, template_f, pose, GT, GT, focal_gt, chunk=2048
             )
-            gt_rgb = jax.image.resize(gt["rgb"], (S, S, 3), "bilinear")
-            gt_rgb = jax.lax.stop_gradient(gt_rgb)
+            if GT == S:
+                gt_rgb = jax.lax.stop_gradient(gt["rgb"])
+            else:
+                gt_rgb = jax.lax.stop_gradient(
+                    jax.image.resize(gt["rgb"], (S, S, 3), "bilinear")
+                )
             mask_img = (gt_rgb.sum(-1) > 1e-6).astype(jnp.float32)
 
             # ray selection
@@ -580,12 +593,24 @@ class Runner:
 
             n_total = ncfg.n_samples + ncfg.n_importance
 
-            def loss_fn(p):
-                out = neus.render(
-                    p, ncfg, cfgs, rays_o, rays_d, near, far, rng=ks[8],
-                    background_rgb=bg_rays,
+            def render_fn(p, ro, rd, nr, fr, bg):
+                return neus.render(
+                    p, ncfg, cfgs, ro, rd, nr, fr, rng=ks[8],
+                    background_rgb=bg,
                     cos_anneal_ratio=cos_anneal_ratio(tc, it),
                 )
+
+            if tc.remat == "full":
+                # recompute the render during the backward pass instead of
+                # storing activations: the 800k-point MLP sweeps are
+                # HBM-bound, so trading flops for bandwidth wins on TPU
+                render_fn = jax.checkpoint(
+                    render_fn,
+                    policy=jax.checkpoint_policies.nothing_saveable,
+                )
+
+            def loss_fn(p):
+                out = render_fn(p, rays_o, rays_d, near, far, bg_rays)
                 color_fine = out["color_fine"]
                 extra = (
                     out["extra_color_fine"]

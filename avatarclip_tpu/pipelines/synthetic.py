@@ -69,7 +69,7 @@ def make_conf_text(
         max_ray = 256
         clip_model = "tiny"
         batch = 64
-        extra = "silhouette_res = 32\n    gt_render_res = 64"
+        extra = "silhouette_res = 32\n    gt_render_res = 64\n    compute_dtype = float32"
     return f"""
 general {{
     base_exp_dir = {exp_dir}

@@ -151,7 +151,7 @@ def rasterize(
     valid_faces: jnp.ndarray,  # (F,) bool (padding entries False)
     H: int,
     W: int,
-    chunk: int = 1024,
+    chunk: int = 2048,
 ):
     """Hard z-buffer pass. Returns (face_id (P,) int32 [-1 = background],
     bary (P, 3), inv_z (P,))."""
@@ -167,38 +167,63 @@ def rasterize(
     coef_chunks = coef.reshape(n_chunks, chunk, 3, 4)
     valid_chunks = valid.reshape(n_chunks, chunk)
 
+    # The (P, chunk, 4) edge/depth intermediate is the rasterizer's bandwidth
+    # bill (GBs per scan step in f32), so it is STORED in bf16 while the
+    # matmul computes from f32 operands: bf16 shares f32's exponent range, so
+    # the near-zero values that decide inside/outside keep their sign
+    # precisely. The chunk winner is selected by packing (quantized
+    # inv-depth, face index) into one int32 and taking a single max — an
+    # argmax+gather pair would cost two more passes over the (P, chunk) array.
     def body(carry, inp):
-        best_iz, best_face = carry
+        best_key = carry
         ci, (coef_c, valid_c) = inp
-        # (P, 3) @ (3, chunk*4) -> (P, chunk, 4) : MXU
-        vals = (pix @ coef_c.transpose(1, 0, 2).reshape(3, chunk * 4)).reshape(
-            P, chunk, 4
-        )
+        vals = jax.lax.dot_general(
+            pix, coef_c.transpose(1, 0, 2).reshape(3, chunk * 4),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.bfloat16,
+        ).reshape(P, chunk, 4)
         b0, b1, b2, iz = vals[..., 0], vals[..., 1], vals[..., 2], vals[..., 3]
         inside = (b0 >= 0) & (b1 >= 0) & (b2 >= 0) & valid_c[None, :] & (iz > 0)
-        iz_masked = jnp.where(inside, iz, -jnp.inf)
-        local_best = jnp.argmax(iz_masked, axis=1)  # (P,)
-        local_iz = jnp.take_along_axis(iz_masked, local_best[:, None], 1)[:, 0]
-        better = local_iz > best_iz
-        best_iz = jnp.where(better, local_iz, best_iz)
-        best_face = jnp.where(better, ci * chunk + local_best, best_face)
-        return (best_iz, best_face), None
+        # pack: high 21 bits quantized inv-depth, low 11 bits local face id
+        izq = jnp.clip(
+            (iz.astype(jnp.float32) * 65536.0), 0, float(2**20 - 1)
+        ).astype(jnp.int32)
+        key = jnp.where(inside, (izq << 11) | jax.lax.broadcasted_iota(
+            jnp.int32, (P, chunk), 1
+        ), -1)
+        local_best = jnp.max(key, axis=1)
+        better = local_best > best_key[0]
+        best_key = (
+            jnp.where(better, local_best, best_key[0]),
+            jnp.where(better, ci, best_key[1]),
+        )
+        return best_key, None
 
-    init = (jnp.full((P,), -jnp.inf), jnp.full((P,), -1, jnp.int32))
-    (best_iz, best_face), _ = jax.lax.scan(
+    init = (jnp.full((P,), -1, jnp.int32), jnp.zeros((P,), jnp.int32))
+    (best_packed, best_chunk), _ = jax.lax.scan(
         body, init, (jnp.arange(n_chunks), (coef_chunks, valid_chunks))
+    )
+    best_face = jnp.where(
+        best_packed >= 0, best_chunk * chunk + (best_packed & 0x7FF), -1
+    )
+    best_iz = jnp.where(
+        best_packed >= 0,
+        (best_packed >> 11).astype(jnp.float32) / 65536.0,
+        -jnp.inf,
     )
 
     hit = best_face >= 0
     face_id = jnp.where(hit, best_face, 0)
 
-    # recompute barycentrics for the winning face only (cheap gather + dot)
+    # recompute barycentrics AND exact inverse depth for the winning face only
+    # (cheap gather + dot); the scan's packed key quantized iz for selection
     win_coef = coef[face_id]  # (P, 3, 4)
     bary = jnp.einsum("pc,pcb->pb", pix, win_coef[..., :3])
     bary = jnp.clip(bary, 0.0, 1.0)
     bary = bary / jnp.maximum(bary.sum(-1, keepdims=True), 1e-12)
+    exact_iz = jnp.einsum("pc,pc->p", pix, win_coef[..., 3])
 
-    return jnp.where(hit, best_face, -1), bary, jnp.where(hit, best_iz, 0.0)
+    return jnp.where(hit, best_face, -1), bary, jnp.where(hit, exact_iz, 0.0)
 
 
 def vertex_normals(vertices: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:

@@ -43,6 +43,7 @@ train {{
     gt_render_res = 64
     head_height = 0.7
     seed = 0
+    compute_dtype = float32
 }}
 clip {{
     model = tiny
