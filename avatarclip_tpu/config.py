@@ -237,6 +237,18 @@ def parse_string(text: str) -> Conf:
             stack.append(node)
             continue
 
+        # single-line section: "name { k = v, k2 = v2 }" — expand and recurse
+        m = re.match(r"^([\w.\-]+)\s*[=:]?\s*\{(.*)\}\s*$", line)
+        if m and "=" in m.group(2):
+            node = stack[-1]
+            for part in m.group(1).split("."):
+                node = node.setdefault(part, {})
+            inner = parse_string(
+                "\n".join(p.strip() for p in m.group(2).split(",") if p.strip())
+            )
+            node.update(inner._data)
+            continue
+
         # key = value
         m = re.match(r"^([\w.\-]+)\s*[=:]\s*(.*)$", line)
         if m:

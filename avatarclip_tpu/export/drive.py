@@ -29,6 +29,23 @@ WORLD_TO_BODY = np.array(
 )
 
 
+def read_pose_seq(folder: str) -> np.ndarray:
+    """Read a folder of per-frame smpl_param.pkl dirs (drive.py:267-280)
+    -> (T, 24, 3, 3) rotation matrices."""
+    import pickle
+
+    dirs = sorted(d for d in os.listdir(folder) if d.startswith("000"))
+    poses = []
+    for d in dirs:
+        with open(os.path.join(folder, d, "smpl_param.pkl"), "rb") as f:
+            smpl_param = pickle.load(f)
+        poses.append(np.asarray(smpl_param["pose"], np.float32).reshape(-1)[:72])
+    poses = np.stack(poses)
+    return np.asarray(
+        rotations.rodrigues(jnp.asarray(poses).reshape(-1, 3))
+    ).reshape(-1, 24, 3, 3)
+
+
 def read_motion_npy(path: str) -> np.ndarray:
     """Motion .npy (T, >=72) -> (T, 24, 3, 3) rotation matrices with the root
     pinned to the upright global orient (drive.py read_pose_my:282-293)."""

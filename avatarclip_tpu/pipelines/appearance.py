@@ -748,6 +748,9 @@ class Runner:
             self.init_smpl()
         step = self._make_clip_step()
         res_step = self.tc.end_iter - self.iter_step
+        import time as _time
+
+        t_last, it_last = _time.perf_counter(), self.iter_step
         for i in range(res_step):
             if i == self.tc.clip_stop_iter:
                 break
@@ -756,7 +759,33 @@ class Runner:
                 self.params, self.opt_state, k, self.iter_step
             )
             self.iter_step += 1
+            if self.iter_step % self.tc.report_freq == 0:
+                # rays/sec observability (SURVEY.md §5: per-step timing)
+                jax.block_until_ready(self.params)
+                now = _time.perf_counter()
+                n_it = self.iter_step - it_last
+                metrics = dict(metrics)
+                metrics["iters_per_sec"] = n_it / (now - t_last)
+                t_last, it_last = now, self.iter_step
             self._post_iter(metrics)
+
+    def profile_trace(self, out_dir: str, n_iters: int = 3):
+        """Capture a jax.profiler trace of the train_clip step (SURVEY.md §5
+        tracing subsystem; inspect with tensorboard or the trace viewer)."""
+        if self._clip is None:
+            self.init_clip()
+        if self._template is None:
+            self.init_smpl()
+        step = self._make_clip_step()
+        self.key, k = jax.random.split(self.key)
+        p, o, _ = step(self.params, self.opt_state, k, 0)
+        jax.block_until_ready(p)
+        with jax.profiler.trace(out_dir):
+            for i in range(n_iters):
+                self.key, k = jax.random.split(self.key)
+                p, o, _ = step(p, o, k, i + 1)
+            jax.block_until_ready(p)
+        return out_dir
 
     def _post_iter(self, metrics):
         it = self.iter_step
