@@ -110,9 +110,10 @@ def extract_fields(
     chunks = pts.reshape(-1, chunk, 3)
 
     jit_q = jax.jit(query_fn)
-    out = np.concatenate(
-        [np.asarray(jit_q(jnp.asarray(c))).reshape(-1) for c in chunks]
-    )[:P]
+    # dispatch all chunks asynchronously, transfer once (per-chunk host syncs
+    # cost a device round trip each)
+    parts = [jit_q(jnp.asarray(c)).reshape(-1) for c in chunks]
+    out = np.asarray(jnp.concatenate(parts))[:P]
     return out.reshape(resolution, resolution, resolution)
 
 

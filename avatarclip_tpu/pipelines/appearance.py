@@ -818,11 +818,18 @@ class Runner:
 
         return go
 
-    def render_rays_chunked(self, rays_o, rays_d, background_rgb=None, keys=None):
+    def render_rays_chunked(
+        self, rays_o, rays_d, background_rgb=None, keys=None, chunk=None
+    ):
         """Render N rays through fixed-size jitted chunks; returns stacked
-        numpy dict for the requested keys."""
+        numpy dict for the requested keys.
+
+        Chunks are dispatched asynchronously and gathered once at the end —
+        a per-chunk host sync costs a full device round trip (68ms through a
+        remote-TPU tunnel), which at thousands of chunks dominates the work.
+        """
         keys = keys or ["color_fine", "extra_color_fine"]
-        chunk = self.tc.batch_size
+        chunk = chunk or max(self.tc.batch_size, 16384)
         n = rays_o.shape[0]
         outs: dict[str, list] = {k: [] for k in keys}
         for start in range(0, n, chunk):
@@ -841,9 +848,13 @@ class Runner:
             m = ro.shape[0] - pad
             for k in keys:
                 v = out[k]
-                outs[k].append(np.asarray(v)[:m] if v is not None else None)
+                outs[k].append(v[:m] if v is not None else None)
         return {
-            k: (np.concatenate(v, 0) if v[0] is not None else None)
+            k: (
+                np.asarray(jnp.concatenate(v, 0))
+                if v[0] is not None
+                else None
+            )
             for k, v in outs.items()
         }
 
@@ -1102,11 +1113,19 @@ def main(argv=None):
     parser.add_argument("--is_continue", default=False, action="store_true")
     parser.add_argument("--gpu", type=int, default=0)  # accepted, unused (TPU)
     parser.add_argument("--case", type=str, default="smpl")
+    parser.add_argument(
+        "--set", action="append", default=[], metavar="KEY=VALUE",
+        help="override conf entries, e.g. --set general.base_exp_dir=/tmp/exp",
+    )
     args = parser.parse_args(argv)
 
     if args.mode in ("validate_mesh", "render_geometry_cast_light"):
         args.is_continue = True
-    runner = Runner(args.conf, args.mode, args.case, args.is_continue)
+    conf = config_mod.parse_file(args.conf)
+    for kv in args.set:
+        key, _, value = kv.partition("=")
+        conf.put(key, config_mod._parse_value(value))
+    runner = Runner(args.conf, args.mode, args.case, args.is_continue, conf=conf)
 
     if args.mode == "train":
         runner.train()

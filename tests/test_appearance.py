@@ -248,3 +248,31 @@ def test_reference_pth_pretrain_loads():
     # the pretrained SDF must be a body-like surface: negative inside chest
     sdf = nets.sdf_value(loaded["sdf"], sdf_cfg, jnp.asarray([[0.0, 0.0, 0.2]]))
     assert np.isfinite(float(sdf[0, 0]))
+
+
+def test_reference_example_small_conf_runner():
+    """Construct a Runner straight from the reference's shipped smoke conf
+    (confs/examples_small/example.conf): conf parses, the shipped 108-view
+    dataset loads, and the reference pretrain .pth maps onto our params."""
+    ref = "/root/reference/AvatarGen/AppearanceGen"
+    conf_path = os.path.join(ref, "confs/examples_small/example.conf")
+    if not os.path.exists(conf_path):
+        pytest.skip("reference checkout not present")
+    text = open(conf_path).read().replace("{TOREPLACE}", "test person")
+    conf = config_mod.parse_string(text)
+    conf.put("general.base_exp_dir", "/tmp/exp_ref_small")
+    conf.put("dataset.data_dir", os.path.join(ref, "data/zero_beta_standpose_render"))
+    conf.put("dataset.template_obj", os.path.join(ref, "data/zero_beta_smpl.obj"))
+    conf.put("train.pretrain",
+             os.path.join(ref, "pretrained_models/zero_beta_stand_pose_small.pth"))
+    conf.put("clip.model", "tiny")  # keep CPU-test cheap
+    r = appearance.Runner(None, mode="none", conf=conf)
+    assert r.dataset.n_images == 108
+    assert r.tc.max_ray_num == 7000
+    assert r.tc.use_silhouettes and r.tc.use_face_prompt
+    # the pretrain loaded: variance comes from the checkpoint, not init 0.3
+    assert abs(float(r.params["variance"]["variance"]) - 0.605) < 1e-2
+    # the sculpting step builds (smoke: template + clip init only)
+    r.init_clip()
+    r.init_smpl()
+    assert r._template[0].shape[-1] == 3
