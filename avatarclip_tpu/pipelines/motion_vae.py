@@ -113,7 +113,7 @@ def _init_enc_layer(key, cfg):
 def _enc_layer(p, x, n_heads):
     # post-LN (torch TransformerEncoderLayer default)
     x = _ln(p["ln1"], x + _mha(p["attn"], x, x, n_heads))
-    ff = _apply(p["fc2"], jax.nn.gelu(_apply(p["fc1"], x)))
+    ff = _apply(p["fc2"], jax.nn.gelu(_apply(p["fc1"], x), approximate=False))
     return _ln(p["ln2"], x + ff)
 
 
@@ -134,7 +134,7 @@ def _init_dec_layer(key, cfg):
 def _dec_layer(p, tgt, memory, n_heads):
     tgt = _ln(p["ln1"], tgt + _mha(p["self_attn"], tgt, tgt, n_heads))
     tgt = _ln(p["ln2"], tgt + _mha(p["cross_attn"], tgt, memory, n_heads))
-    ff = _apply(p["fc2"], jax.nn.gelu(_apply(p["fc1"], tgt)))
+    ff = _apply(p["fc2"], jax.nn.gelu(_apply(p["fc1"], tgt), approximate=False))
     return _ln(p["ln3"], tgt + ff)
 
 
