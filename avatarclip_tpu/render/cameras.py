@@ -128,7 +128,8 @@ def pixel_grid_rays(
         [(px - cx) / focal, -(py - cy) / focal, -jnp.ones_like(px)], axis=-1
     )
     d = p / jnp.linalg.norm(p, axis=-1, keepdims=True)
-    rays_d = jnp.einsum("hwc,rc->hwr", d, pose[:3, :3].T)  # pose @ d
+    # world dir = R @ d_cam, i.e. out[w] = sum_c pose[w, c] * d[c]
+    rays_d = jnp.einsum("hwc,rc->hwr", d, pose[:3, :3])
     rays_o = jnp.broadcast_to(pose[:3, 3], rays_d.shape)
     return rays_o, rays_d
 

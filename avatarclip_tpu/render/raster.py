@@ -131,9 +131,12 @@ def _pixel_matrix(H: int, W: int) -> jnp.ndarray:
         jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32),
         indexing="ij",
     )
+    # integer pixel coordinates, matching the ray generator's pixel lattice
+    # (cameras.pixel_grid_rays uses linspace(0, W-1)); raster pixel (px, py)
+    # therefore samples exactly the ray at (px, py)
     return jnp.stack(
-        [px.reshape(-1) + 0.5, py.reshape(-1) + 0.5, jnp.ones(H * W)], axis=-1
-    )  # (P, 3), pixel centers
+        [px.reshape(-1), py.reshape(-1), jnp.ones(H * W)], axis=-1
+    )  # (P, 3)
 
 
 def _pad_faces(faces: np.ndarray, chunk: int) -> np.ndarray:

@@ -164,8 +164,8 @@ def test_rasterize_agrees_with_ray_convention():
     mask = np.asarray(out["mask"])
     ys, xs = np.where(mask)
     assert len(ys) > 0
-    assert abs(xs.mean() - (px + 0.5)) < 1.5
-    assert abs(ys.mean() - (py + 0.5)) < 1.5
+    assert abs(xs.mean() - px) < 1.2
+    assert abs(ys.mean() - py) < 1.2
 
 
 def test_soft_render_matches_hard_silhouette():
@@ -217,3 +217,61 @@ def test_render_smpl_template_nonempty():
     assert 0.02 < mask.mean() < 0.6
     rgb = np.asarray(out["rgb"])
     assert rgb[mask].mean() > 0.3
+
+
+def test_grid_rays_match_random_rays_offaxis():
+    """pixel_grid_rays and the random-pixel sampler must produce identical
+    rays for the same pixels, including ROTATED cameras (a transposed
+    rotation is invisible at identity poses — regression for that bug)."""
+    from avatarclip_tpu.pipelines.dataset import sample_random_rays
+
+    eye = np.array([1.4, 0.8, -1.2], np.float32)
+    pose = look_at_pose(eye, [0.1, -0.2, 0.3])
+    H = W = 32
+    focal = cameras.focal_from_fov(W, np.deg2rad(60.0))
+    rays_o_g, rays_d_g = cameras.pixel_grid_rays(pose, H, W, focal)
+
+    images = jnp.zeros((1, H, W, 3))
+    masks = jnp.zeros((1, H, W))
+    poses = pose[None]
+    # reproduce the same sampled pixels deterministically
+    key = jax.random.PRNGKey(7)
+    ro, rd, _, _ = sample_random_rays(images, masks, poses, focal, key, 0, 16)
+    k1, k2 = jax.random.split(key)
+    px = jax.random.randint(k1, (16,), 0, W)
+    py = jax.random.randint(k2, (16,), 0, H)
+    # grid rays at integer pixel coords (grid uses the same linspace 0..W-1)
+    np.testing.assert_allclose(
+        np.asarray(rd)[0], np.asarray(rays_d_g[py[0], px[0]]), atol=1e-5
+    )
+    for i in range(16):
+        np.testing.assert_allclose(
+            np.asarray(rd[i]), np.asarray(rays_d_g[py[i], px[i]]), atol=1e-5
+        )
+    np.testing.assert_allclose(np.asarray(ro[0]), eye, atol=1e-6)
+
+
+def test_raster_agrees_with_rays_offaxis():
+    """Raster/ray agreement at a rotated camera (not just identity)."""
+    eye = np.array([1.2, 0.9, 1.1], np.float32)
+    pose = look_at_pose(eye)
+    H = W = 64
+    focal = cameras.focal_from_fov(W, np.deg2rad(60.0))
+    rays_o, rays_d = cameras.pixel_grid_rays(pose, H, W, focal)
+    px, py = 44, 18
+    p_world = np.asarray(rays_o[py, px] + 1.6 * rays_d[py, px])
+    n = np.asarray(rays_d[py, px])
+    # tiny triangle at that point, oriented facing the camera
+    u = np.cross(n, [0, 1, 0]); u /= np.linalg.norm(u)
+    v = np.cross(n, u)
+    verts = jnp.asarray(
+        [p_world - 0.02 * u - 0.02 * v, p_world + 0.02 * u - 0.02 * v,
+         p_world + 0.03 * v], jnp.float32,
+    )
+    faces = np.array([[0, 1, 2]], np.int32)
+    out = raster.render_mesh(verts, faces, pose, H, W, focal, chunk=64)
+    mask = np.asarray(out["mask"])
+    ys, xs = np.where(mask)
+    assert len(ys) > 0
+    assert abs(xs.mean() - px) < 1.2
+    assert abs(ys.mean() - py) < 1.2
