@@ -106,6 +106,36 @@ def load_smpl(path_or_dir: str | None = None):
     return smpl_mod.approximate_model_from_mesh(v, f)
 
 
+@functools.lru_cache(maxsize=1)
+def load_smpl_uv():
+    """(face_uvs (F,3,2), texture (H,W,3) f32) when the SURREAL-textured
+    smpl_uv.obj asset is available (reference: ShapeGen/utils.py:6-7), else
+    None. The texture image is looked up next to the obj (smpl_texture.png
+    or the .mtl's map_Kd)."""
+    obj = find("smpl_uv.obj")
+    if obj is None:
+        return None
+    from .export.mesh_io import read_obj
+
+    _, F, Vt, Ft = read_obj(obj)
+    if Vt is None or Ft is None:
+        return None
+    tex_path = None
+    base = os.path.dirname(obj)
+    for cand in ("smpl_texture.png", "texture.png", "smpl_uv.png"):
+        p = os.path.join(base, cand)
+        if os.path.exists(p):
+            tex_path = p
+            break
+    if tex_path is None:
+        return None
+    import imageio.v2 as imageio
+
+    tex = np.asarray(imageio.imread(tex_path), np.float32)[..., :3] / 255.0
+    face_uvs = np.asarray(Vt)[np.asarray(Ft)]  # (F, 3, 2)
+    return np.asarray(face_uvs, np.float32), tex
+
+
 def load_stand_pose() -> np.ndarray:
     """The 72-dof stand pose used for NeuS-init and appearance sculpting
     (reference: AvatarGen/ShapeGen/output/stand_pose.npy, main.py:304-306)."""

@@ -78,6 +78,8 @@ class AnimateContext:
             self.clip_cfg = clip_model.VIT_B32
         self.render_res = render_res
         self.faces = np.asarray(self.smpl.faces, np.int32)
+        # SURREAL-textured renders when the asset exists (models/render.py:6-7)
+        self.uv_texture = assets.load_smpl_uv()
 
     # -- text ---------------------------------------------------------------
 
@@ -117,6 +119,8 @@ class AnimateContext:
                  -jnp.cos(elev) * jnp.cos(a)]
             )
 
+        uvtex = self.uv_texture
+
         def one_view(verts, elev, azim, soft):
             eye = eye_from_angle(elev, azim)
             pose_mat = cameras.lookat(
@@ -128,8 +132,12 @@ class AnimateContext:
                     chunk=2048,
                 )
                 return out["rgb"]
+            kw = {}
+            if uvtex is not None:
+                kw = dict(face_uvs=jnp.asarray(uvtex[0]),
+                          texture=jnp.asarray(uvtex[1]))
             out = raster.render_mesh(
-                verts, faces, pose_mat, res, res, focal, chunk=2048
+                verts, faces, pose_mat, res, res, focal, chunk=2048, **kw
             )
             return out["rgb"]
 

@@ -204,7 +204,8 @@ def shape_gen(
 
 def _render_view(verts, faces, azim_deg: float, res: int, dist: float = 2.0,
                  elev: float = 0.0):
-    """nr-convention camera (get_points_from_angles) + built-in rasterizer."""
+    """nr-convention camera (get_points_from_angles) + built-in rasterizer;
+    uses the SURREAL UV texture when the asset exists (ShapeGen/utils.py:6-7)."""
     v_world = jnp.asarray(verts) @ jnp.asarray(cameras.BODY_TO_WORLD).T
     a = np.deg2rad(azim_deg)
     eye = dist * jnp.asarray(
@@ -213,8 +214,13 @@ def _render_view(verts, faces, azim_deg: float, res: int, dist: float = 2.0,
     )
     pose = cameras.lookat(eye, jnp.zeros(3), jnp.asarray([0.0, 1.0, 0.0]))
     focal = cameras.focal_from_fov(res, np.deg2rad(60.0))
+    kw = {}
+    uvtex = assets.load_smpl_uv()
+    if uvtex is not None:
+        kw = dict(face_uvs=jnp.asarray(uvtex[0]), texture=jnp.asarray(uvtex[1]))
     out = raster.render_mesh(
-        v_world, np.asarray(faces, np.int32), pose, res, res, focal, chunk=2048
+        v_world, np.asarray(faces, np.int32), pose, res, res, focal,
+        chunk=2048, **kw
     )
     return out["rgb"]
 

@@ -229,6 +229,27 @@ def rasterize(
     return jnp.where(hit, best_face, -1), bary, jnp.where(hit, exact_iz, 0.0)
 
 
+def _sample_texture(texture: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample (P, 2) uv in [0,1] (v up) from an (Ht, Wt, 3) image."""
+    Ht, Wt = texture.shape[0], texture.shape[1]
+    x = jnp.clip(uv[:, 0], 0.0, 1.0) * (Wt - 1)
+    y = (1.0 - jnp.clip(uv[:, 1], 0.0, 1.0)) * (Ht - 1)
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, Wt - 2)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, Ht - 2)
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+    c00 = texture[y0, x0]
+    c01 = texture[y0, x0 + 1]
+    c10 = texture[y0 + 1, x0]
+    c11 = texture[y0 + 1, x0 + 1]
+    return (
+        c00 * (1 - fx) * (1 - fy)
+        + c01 * fx * (1 - fy)
+        + c10 * (1 - fx) * fy
+        + c11 * fx * fy
+    )
+
+
 def vertex_normals(vertices: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
     """Area-weighted smooth vertex normals via segment-sum scatter."""
     V = vertices.shape[0]
@@ -253,6 +274,8 @@ def render_mesh(
     diffuse: float = 0.5,
     background: float = 0.0,
     chunk: int = 1024,
+    face_uvs: jnp.ndarray | None = None,  # (F, 3, 2) per-corner uv in [0,1]
+    texture: jnp.ndarray | None = None,  # (Ht, Wt, 3) sampled bilinearly
 ):
     """Shaded hard rasterization -> dict(rgb (H,W,3), mask (H,W), depth (H,W)).
 
@@ -290,11 +313,22 @@ def render_mesh(
     lambert = jnp.abs(jnp.sum(n_pix * light_dir, axis=-1))
     shade = ambient + diffuse * lambert
 
-    if vertex_colors is None:
-        base = jnp.ones((vertices.shape[0], 3))
+    if face_uvs is not None and texture is not None:
+        # UV-textured shading (the reference's SURREAL-textured SMPL renders,
+        # ShapeGen/utils.py:9-35): barycentric uv + bilinear texture sample
+        fuv = jnp.asarray(face_uvs)
+        if fuv.shape[0] != faces.shape[0]:  # pad to face padding
+            fuv = jnp.concatenate(
+                [fuv, jnp.zeros((faces.shape[0] - fuv.shape[0], 3, 2))], 0
+            )
+        uv = jnp.einsum("pb,pbc->pc", bary, fuv[fid])  # (P, 2)
+        c_pix = _sample_texture(texture, uv)
     else:
-        base = vertex_colors
-    c_pix = jnp.einsum("pb,pbc->pc", bary, base[tri])
+        if vertex_colors is None:
+            base = jnp.ones((vertices.shape[0], 3))
+        else:
+            base = vertex_colors
+        c_pix = jnp.einsum("pb,pbc->pc", bary, base[tri])
     rgb = jnp.clip(c_pix * shade[:, None], 0.0, 1.0)
     rgb = jnp.where(hit[:, None], rgb, background)
 

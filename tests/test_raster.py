@@ -275,3 +275,36 @@ def test_raster_agrees_with_rays_offaxis():
     assert len(ys) > 0
     assert abs(xs.mean() - px) < 1.2
     assert abs(ys.mean() - py) < 1.2
+
+
+def test_uv_textured_render():
+    """UV texture sampling: a quad textured with a horizontal gradient."""
+    verts, faces = unit_quad(z=0.0, half=0.5)
+    face_uvs = jnp.asarray(
+        [
+            [[0, 0], [1, 0], [1, 1]],
+            [[0, 0], [1, 1], [0, 1]],
+        ],
+        jnp.float32,
+    )
+    tex = jnp.broadcast_to(
+        jnp.linspace(0.0, 1.0, 32)[None, :, None], (32, 32, 3)
+    )
+    pose = look_at_pose([0.0, 0.0, 2.0])
+    H = W = 64
+    focal = cameras.focal_from_fov(W, np.deg2rad(60.0))
+    out = raster.render_mesh(
+        verts, faces, pose, H, W, focal, face_uvs=face_uvs, texture=tex,
+        ambient=1.0, diffuse=0.0, chunk=64,
+    )
+    rgb = np.asarray(out["rgb"])
+    mask = np.asarray(out["mask"])
+    rows = np.where(mask.any(1))[0]
+    cols = np.where(mask.any(0))[0]
+    mid = rows[len(rows) // 2]
+    left = rgb[mid, cols.min() + 1, 0]
+    right = rgb[mid, cols.max() - 1, 0]
+    # u=0 maps to the left of the quad as seen... the gradient must span
+    assert abs(right - left) > 0.7
+    interior = rgb[mask]
+    assert interior.min() >= 0 and interior.max() <= 1
