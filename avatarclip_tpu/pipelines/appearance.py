@@ -93,7 +93,7 @@ def load_reference_pth(path: str, params):
     def to_j(t):
         return jnp.asarray(np.asarray(t.detach(), dtype=np.float32))
 
-    def load_net(sd, layers, extra_key=None, extra_dst=None):
+    def load_net(sd):
         out_layers = []
         i = 0
         while f"lin{i}.bias" in sd:
@@ -107,11 +107,10 @@ def load_reference_pth(path: str, params):
             i += 1
         return out_layers
 
-    new = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
-    sdf_sd = ck["sdf_network_fine"]
-    new["sdf"] = {"layers": load_net(sdf_sd, None)}
+    new = jax.tree_util.tree_map(lambda x: x, params)  # copy
+    new["sdf"] = {"layers": load_net(ck["sdf_network_fine"])}
     col_sd = ck["color_network_fine"]
-    col = {"layers": load_net(col_sd, None)}
+    col = {"layers": load_net(col_sd)}
     if "extra_lin.bias" in col_sd:
         col["extra"] = {
             "g": to_j(col_sd["extra_lin.weight_g"]),

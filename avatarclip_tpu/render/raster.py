@@ -139,14 +139,6 @@ def _pixel_matrix(H: int, W: int) -> jnp.ndarray:
     )  # (P, 3)
 
 
-def _pad_faces(faces: np.ndarray, chunk: int) -> np.ndarray:
-    F = faces.shape[0]
-    pad = (-F) % chunk
-    if pad:
-        faces = np.concatenate([faces, np.zeros((pad, 3), faces.dtype)], 0)
-    return faces
-
-
 @functools.partial(jax.jit, static_argnames=("H", "W", "chunk"))
 def rasterize(
     proj_sx, proj_sy, proj_inv_z, proj_front,
