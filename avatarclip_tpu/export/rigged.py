@@ -99,7 +99,12 @@ def write_glb(
     joints_rest: np.ndarray,
     joint_names: list[str] = MIXAMO_NAMES,
     parents: np.ndarray = SMPL_PARENTS,
+    motion_rots: np.ndarray | None = None,  # (T, 24, 3, 3) per-frame rotations
+    fps: float = 30.0,
 ) -> None:
+    """Rigged GLB; with ``motion_rots`` the motion is baked in as a glTF
+    animation (rotation channel per joint) — one self-contained animated
+    avatar file, beyond the reference's static FBX + separate .pc2."""
     verts = np.ascontiguousarray(verts, np.float32)
     faces = np.ascontiguousarray(faces, np.uint32)
     j_idx, j_w = _top4_weights(weights)
@@ -174,6 +179,37 @@ def write_glb(
         if p >= 0:
             nodes[1 + p].setdefault("children", []).append(1 + j)
 
+    animations = []
+    if motion_rots is not None:
+        from ..body import rotations as rot_mod
+        import jax.numpy as jnp
+
+        T = motion_rots.shape[0]
+        times = np.arange(T, dtype=np.float32) / fps
+        a_time = accessor(times, 5126, "SCALAR", T, minmax=True)
+        quats = np.asarray(
+            rot_mod.matrix_to_quaternion(jnp.asarray(motion_rots))
+        )  # (T, 24, 4) wxyz
+        # glTF quaternions are xyzw
+        quats = np.concatenate([quats[..., 1:], quats[..., :1]], axis=-1)
+        channels, samplers = [], []
+        for j in range(24):
+            a_rot = accessor(
+                np.ascontiguousarray(quats[:, j], np.float32), 5126, "VEC4", T
+            )
+            samplers.append(
+                {"input": a_time, "output": a_rot, "interpolation": "LINEAR"}
+            )
+            channels.append(
+                {
+                    "sampler": len(samplers) - 1,
+                    "target": {"node": 1 + j, "path": "rotation"},
+                }
+            )
+        animations = [
+            {"name": "motion", "channels": channels, "samplers": samplers}
+        ]
+
     gltf = {
         "asset": {"version": "2.0", "generator": "avatarclip_tpu"},
         "scene": 0,
@@ -196,6 +232,8 @@ def write_glb(
         "accessors": accessors,
         "bufferViews": buffer_views,
     }
+    if animations:
+        gltf["animations"] = animations
 
     bin_data = b"".join(b for b, _ in buffers)
     bin_data += b"\x00" * ((-len(bin_data)) % 4)
@@ -399,13 +437,25 @@ def export_rigged(
     out_path: str,
     smpl_path: str | None = None,
     simplify: bool = True,
+    motion_npy: str | None = None,
+    fps: float = 30.0,
 ):
-    """One-call export: PLY -> rigged .glb / .fbx (export_fbx.py:31-138)."""
+    """One-call export: PLY -> rigged .glb / .fbx (export_fbx.py:31-138).
+    With ``motion_npy`` (an AvatarAnimate motion) and a .glb target, the
+    motion is baked into the file as a glTF animation."""
     tpose, faces, colors, weights, joints = prepare_rigged_avatar(
         mesh_ply, smpl_path=smpl_path, simplify=simplify
     )
+    motion_rots = None
+    if motion_npy is not None:
+        from . import drive as drive_mod
+
+        motion_rots = drive_mod.read_motion_npy(motion_npy)
     if out_path.endswith(".glb"):
-        write_glb(out_path, tpose, faces, colors, weights, joints)
+        write_glb(
+            out_path, tpose, faces, colors, weights, joints,
+            motion_rots=motion_rots, fps=fps,
+        )
     elif out_path.endswith(".fbx"):
         write_fbx_ascii(out_path, tpose, faces, colors, weights, joints)
     else:
@@ -421,10 +471,13 @@ def main(argv=None):
     parser.add_argument("--out", type=str, required=True, help=".glb or .fbx")
     parser.add_argument("--smpl_model_folder", type=str, default=None)
     parser.add_argument("--no_simplify", action="store_true")
+    parser.add_argument("--motion", type=str, default=None,
+                        help="motion .npy to bake as a glTF animation")
+    parser.add_argument("--fps", type=float, default=30.0)
     args = parser.parse_args(argv)
     export_rigged(
         args.ply, args.out, smpl_path=args.smpl_model_folder,
-        simplify=not args.no_simplify,
+        simplify=not args.no_simplify, motion_npy=args.motion, fps=args.fps,
     )
 
 

@@ -133,6 +133,10 @@ def sdf_init(key: jax.Array, cfg: SDFConfig) -> Params:
 
 
 def _softplus100(x: jnp.ndarray) -> jnp.ndarray:
+    # NOTE: do not replace with a custom_vjp storing a rounded residual —
+    # higher-order AD (the eikonal term differentiates the spatial gradient)
+    # treats custom_vjp residuals as constants and silently drops the
+    # softplus'' path.
     return jax.nn.softplus(100.0 * x) / 100.0
 
 

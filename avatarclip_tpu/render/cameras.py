@@ -182,6 +182,16 @@ def pose_spherical(theta_deg: float, phi_deg: float, radius: float) -> jnp.ndarr
 # ---------------------------------------------------------------------------
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=8)
+def _fixed_permutation(n: int) -> jnp.ndarray:
+    """A fixed (seeded) host-generated permutation of range(n)."""
+    rs = np.random.RandomState(1234)
+    return jnp.asarray(rs.permutation(n).astype(np.int32))
+
+
 def dilate_mask(mask: jnp.ndarray, iterations: int = 10) -> jnp.ndarray:
     """Binary dilation with a 3x3 structuring element, ``iterations`` times
     (dataset.py:255-256) — implemented as one (2k+1)^2 max-pool via
@@ -216,9 +226,24 @@ def select_silhouette_rays(
     Returns (flat_idx (n_rays,), dilated_mask (H,W), sel_mask (H,W)).
     """
     H, W = mask.shape
+    n = H * W
     dilated = dilate_mask(mask, dilate_iters)
-    score = dilated.astype(jnp.float32) + jax.random.uniform(key, (H, W))
-    flat = score.reshape(-1)
-    _, idx = jax.lax.top_k(flat, n_rays)
-    sel = jnp.zeros((H * W,), bool).at[idx].set(True).reshape(H, W)
+
+    # Sort-free budget selection. A top_k over tens of thousands of scores
+    # costs several ms per step on TPU; instead rank pixels with cumsum
+    # (in-mask pixels first) after a fixed random permutation + per-step
+    # random cyclic shift, which decorrelates WHICH in-mask pixels are
+    # dropped when their count exceeds the budget.
+    perm = _fixed_permutation(n)
+    shift = jax.random.randint(key, (), 0, n)
+    order = jnp.roll(perm, shift)
+    d_flat = dilated.reshape(-1)[order].astype(jnp.int32)
+    rank_in = jnp.cumsum(d_flat) - 1
+    m_total = rank_in[-1] + 1
+    rank_out = jnp.cumsum(1 - d_flat) - 1
+    dest = jnp.where(d_flat == 1, rank_in, m_total + rank_out)
+    # invert: idx_by_rank[dest[j]] = order[j]
+    idx_by_rank = jnp.zeros((n,), jnp.int32).at[dest].set(order)
+    idx = idx_by_rank[:n_rays]
+    sel = jnp.zeros((n,), bool).at[idx].set(True).reshape(H, W)
     return idx, dilated, sel

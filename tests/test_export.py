@@ -176,3 +176,28 @@ def test_fbx_ascii_export(avatar_ply, tmp_path):
     assert text.count('"LimbNode"') >= 24
     assert 'SubDeformer::mixamorig:Hips' in text
     assert "Vertices:" in text and "PolygonVertexIndex:" in text
+
+
+def test_glb_with_baked_animation(avatar_ply, tmp_path):
+    motion = np.zeros((6, 69), np.float32)
+    motion[:, 0] = np.linspace(0, 0.4, 6)
+    mpath = str(tmp_path / "m.npy")
+    np.save(mpath, motion)
+    out = str(tmp_path / "animated.glb")
+    rigged.export_rigged(avatar_ply, out, simplify=True, motion_npy=mpath)
+    js, bin_data = rigged.read_glb(out)
+    assert "animations" in js
+    anim = js["animations"][0]
+    assert len(anim["channels"]) == 24
+    # time accessor spans 6 frames at 30fps
+    a_time = js["accessors"][anim["samplers"][0]["input"]]
+    assert a_time["count"] == 6
+    assert abs(a_time["max"][0] - 5 / 30) < 1e-6
+    # rotation outputs are unit quaternions
+    a_rot = js["accessors"][anim["samplers"][1]["output"]]
+    bv = js["bufferViews"][a_rot["bufferView"]]
+    q = np.frombuffer(
+        bin_data[bv["byteOffset"]: bv["byteOffset"] + bv["byteLength"]],
+        dtype=np.float32,
+    ).reshape(6, 4)
+    np.testing.assert_allclose(np.linalg.norm(q, axis=1), 1.0, atol=1e-5)
