@@ -186,10 +186,14 @@ import functools as _functools
 
 
 @_functools.lru_cache(maxsize=8)
-def _fixed_permutation(n: int) -> jnp.ndarray:
-    """A fixed (seeded) host-generated permutation of range(n)."""
+def _fixed_permutation(n: int) -> np.ndarray:
+    """A fixed (seeded) host-generated permutation of range(n).
+
+    Returns NUMPY (converted to a device array at the call site): caching a
+    jnp array created inside a jit trace would leak the tracer into later
+    traces."""
     rs = np.random.RandomState(1234)
-    return jnp.asarray(rs.permutation(n).astype(np.int32))
+    return rs.permutation(n).astype(np.int32)
 
 
 def dilate_mask(mask: jnp.ndarray, iterations: int = 10) -> jnp.ndarray:
@@ -234,7 +238,7 @@ def select_silhouette_rays(
     # (in-mask pixels first) after a fixed random permutation + per-step
     # random cyclic shift, which decorrelates WHICH in-mask pixels are
     # dropped when their count exceeds the budget.
-    perm = _fixed_permutation(n)
+    perm = jnp.asarray(_fixed_permutation(n))
     shift = jax.random.randint(key, (), 0, n)
     order = jnp.roll(perm, shift)
     d_flat = dilated.reshape(-1)[order].astype(jnp.int32)
