@@ -874,13 +874,22 @@ class Runner:
         import imageio.v2 as imageio
 
         os.makedirs(os.path.join(self.base_exp_dir, "validations_fine"), exist_ok=True)
-        img = out["color_fine"].reshape(H, W, 3)
+        img = to8b(out["color_fine"].reshape(H, W, 3))
+        # stack the dataset view below the render for eyeballing, as the
+        # reference does (main.py:806-810)
+        try:
+            gt = np.asarray(self.dataset.images[idx])[:: max(1, resolution_level),
+                                                      :: max(1, resolution_level)]
+            gt = to8b(gt[: img.shape[0], : img.shape[1]])
+            img = np.concatenate([img, gt], axis=0)
+        except Exception:
+            pass
         imageio.imwrite(
             os.path.join(
                 self.base_exp_dir, "validations_fine",
                 f"{self.iter_step:08d}_0_{idx}.png",
             ),
-            to8b(img),
+            img,
         )
         if out["extra_color_fine"] is not None:
             os.makedirs(
