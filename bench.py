@@ -18,7 +18,9 @@ round trip, CLIP forward+backward, host<->device churn) sit at the low end
 of that. vs_baseline = measured / 40_000.
 """
 
+import contextlib
 import json
+import sys
 import tempfile
 import time
 
@@ -36,10 +38,12 @@ def main():
     from avatarclip_tpu.pipelines import synthetic
 
     with tempfile.TemporaryDirectory() as d:
-        runner = synthetic.make_runner(d, scale="full", res=64, n_views=4)
-        runner.init_clip()
-        runner.init_smpl()
-        step = runner._make_clip_step()
+        # keep stdout to exactly one JSON line: setup chatter goes to stderr
+        with contextlib.redirect_stdout(sys.stderr):
+            runner = synthetic.make_runner(d, scale="full", res=64, n_views=4)
+            runner.init_clip()
+            runner.init_smpl()
+            step = runner._make_clip_step()
         R = runner.tc.max_ray_num
 
         key = jax.random.PRNGKey(0)
