@@ -205,21 +205,51 @@ def test_validate_mesh_extracts_sphere(runner):
     assert len(meshes) == 1
 
 
-def test_multi_device_step_matches_single(tiny_dataset, tmp_path):
-    """The sharded train step must produce the same numbers as single-device."""
+def test_one_vs_n_device_equality(tiny_dataset, tmp_path):
+    """SURVEY.md §4: run the same jitted steps (photometric AND clip) on a
+    1-device vs an N-device mesh with identical params/key and assert the
+    updated params and metrics agree — a sharding-induced numerical
+    divergence fails this test, not just nondeterminism."""
+    from avatarclip_tpu.parallel import mesh as pmesh
+
     if len(jax.devices()) < 2:
         pytest.skip("needs multiple (virtual) devices")
+    n = len(jax.devices())
     conf_text = TINY_CONF.format(
         exp_dir=str(tmp_path / "exp2"), data_dir=tiny_dataset
     )
     conf = config_mod.parse_string(conf_text)
     r = appearance.Runner(None, mode="none", conf=conf)
-    step = r._make_photometric_step()
+    r.init_clip()
+    r.init_smpl()
     key = jax.random.PRNGKey(3)
-    p1, o1, m1 = step(r.params, r.opt_state, key, 0)
-    # second run with identical inputs must be deterministic
-    p2, o2, m2 = step(r.params, r.opt_state, key, 0)
-    assert float(m1["loss"]) == float(m2["loss"])
+    params0, opt0 = r.params, r.opt_state
+
+    results = {}
+    for n_dev in (n, 1):
+        pmesh.set_default_mesh(pmesh.data_mesh(n_dev))
+        try:
+            cstep = r._make_clip_step()
+            p, o, mc = cstep(params0, opt0, key, 0)
+            pstep = r._make_photometric_step()
+            p, o, mp = pstep(p, o, key, 1)
+            results[n_dev] = (jax.device_get(p), jax.device_get(mc),
+                              jax.device_get(mp))
+        finally:
+            pmesh.set_default_mesh(None)
+
+    pN, mcN, mpN = results[n]
+    p1, mc1, mp1 = results[1]
+    for k in mcN:
+        np.testing.assert_allclose(mcN[k], mc1[k], rtol=1e-3, atol=1e-5,
+                                   err_msg=f"clip metric {k}")
+    for k in mpN:
+        np.testing.assert_allclose(mpN[k], mp1[k], rtol=1e-3, atol=1e-5,
+                                   err_msg=f"photometric metric {k}")
+    for a, b in zip(jax.tree_util.tree_leaves(pN),
+                    jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
 
 
 def test_reference_pth_pretrain_loads():
