@@ -286,6 +286,17 @@ def parse_string(text: str) -> Conf:
     return Conf(root)
 
 
-def parse_file(path: str) -> Conf:
+def parse_file(path: str, case: str | None = None) -> Conf:
+    """Parse a HOCON file; ``case`` substitutes the reference's prompt
+    templating tokens before parsing: ``{TOREPLACE}`` (the Colab workflow,
+    reference: AvatarGen/AppearanceGen/confs/examples_small/example.conf:47-49)
+    and ``CASE_NAME`` (the --case CLI flag, reference: main.py:31,959)."""
     with open(path, "r") as f:
-        return parse_string(f.read())
+        text = f.read()
+    return parse_string(substitute_case(text, case))
+
+
+def substitute_case(text: str, case: str | None) -> str:
+    if case and case not in ("smpl", "CASE_NAME"):  # reference CLI defaults
+        text = text.replace("{TOREPLACE}", case).replace("CASE_NAME", case)
+    return text

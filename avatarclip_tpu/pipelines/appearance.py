@@ -276,7 +276,11 @@ class Runner:
         conf=None,
     ):
         self.conf_path = conf_path
-        self.conf = conf if conf is not None else config_mod.parse_file(conf_path)
+        self.conf = (
+            conf
+            if conf is not None
+            else config_mod.parse_file(conf_path, case=case)
+        )
         conf = self.conf
 
         self.base_exp_dir = conf.get_string("general.base_exp_dir")
@@ -387,6 +391,10 @@ class Runner:
         pose_rot = rotations.rodrigues(jnp.asarray(pose).reshape(-1, 3)).reshape(
             1, 24, 3, 3
         )
+        if template_obj is not None and not os.path.exists(template_obj):
+            found = assets.find(os.path.basename(template_obj))
+            if found:
+                template_obj = found
         if template_obj is not None and os.path.exists(template_obj):
             v_shaped, _, _, _ = mesh_io.read_obj(template_obj)
             v_shaped = jnp.asarray(v_shaped).reshape(1, -1, 3)
@@ -1129,7 +1137,7 @@ def main(argv=None):
 
     if args.mode in ("validate_mesh", "render_geometry_cast_light"):
         args.is_continue = True
-    conf = config_mod.parse_file(args.conf)
+    conf = config_mod.parse_file(args.conf, case=args.case)
     for kv in args.set:
         key, _, value = kv.partition("=")
         conf.put(key, config_mod._parse_value(value))

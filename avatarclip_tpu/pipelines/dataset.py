@@ -43,6 +43,19 @@ def sample_random_rays(images, masks, poses, focal, key, img_idx, batch_size):
 class SMPLViewDataset:
     def __init__(self, conf):
         self.data_dir = conf.get_string("data_dir")
+        if not os.path.exists(self.data_dir):
+            # repo confs use bare dataset names (e.g.
+            # zero_beta_standpose_render); resolve through the asset search
+            # path ($AVATARCLIP_TPU_DATA, ./data, reference checkout)
+            from .. import assets
+
+            found = assets.find(os.path.basename(os.path.normpath(self.data_dir)))
+            if found is None:
+                raise FileNotFoundError(
+                    f"dataset.data_dir {self.data_dir!r} not found (also "
+                    f"searched the asset path: {assets.search_dirs()})"
+                )
+            self.data_dir = found
         with open(os.path.join(self.data_dir, "transforms_train.json")) as fp:
             meta = json.load(fp)
 
