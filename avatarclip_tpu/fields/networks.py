@@ -140,8 +140,16 @@ def _softplus100(x: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.softplus(100.0 * x) / 100.0
 
 
-def sdf_apply(params: Params, cfg: SDFConfig, pts: jnp.ndarray) -> jnp.ndarray:
-    """(P, 3) -> (P, d_out) = [sdf, geometry feature]."""
+def sdf_apply(
+    params: Params, cfg: SDFConfig, pts: jnp.ndarray, sdf_only: bool = False
+) -> jnp.ndarray:
+    """(P, 3) -> (P, d_out) = [sdf, geometry feature].
+
+    ``sdf_only`` slices the final layer to its first output row (the sdf
+    scalar) BEFORE the matmul: the importance-sampling sweeps
+    (render/neus.py up-sample loop) only consume the sdf, and writing the
+    full (P, 257) f32 output is ~400MB of pure HBM waste per sweep.
+    """
     inputs = pts * cfg.scale
     if cfg.multires > 0:
         inputs = positional_encoding(inputs, cfg.multires)
@@ -151,6 +159,8 @@ def sdf_apply(params: Params, cfg: SDFConfig, pts: jnp.ndarray) -> jnp.ndarray:
     for l, lp in enumerate(params["layers"]):
         if l in cfg.skip_in:
             x = jnp.concatenate([x, inputs.astype(x.dtype)], axis=-1) / np.sqrt(2.0)
+        if sdf_only and l == n - 2:
+            lp = jax.tree_util.tree_map(lambda a: a[:1], lp)
         x = linear_apply(lp, x, cfg.dtype)
         if l < n - 2:
             # store the inter-layer activation in the compute dtype: the 800k
@@ -161,7 +171,7 @@ def sdf_apply(params: Params, cfg: SDFConfig, pts: jnp.ndarray) -> jnp.ndarray:
 
 
 def sdf_value(params: Params, cfg: SDFConfig, pts: jnp.ndarray) -> jnp.ndarray:
-    return sdf_apply(params, cfg, pts)[..., :1]
+    return sdf_apply(params, cfg, pts, sdf_only=True)
 
 
 def sdf_with_gradient(params: Params, cfg: SDFConfig, pts: jnp.ndarray):

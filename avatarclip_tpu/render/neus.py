@@ -83,15 +83,36 @@ def sample_pdf(
     below = jnp.maximum(inds - 1, 0)
     above = jnp.minimum(inds, cdf.shape[-1] - 1)
 
-    cdf_g0 = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_g1 = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_g0 = jnp.take_along_axis(bins, below, axis=-1)
-    bins_g1 = jnp.take_along_axis(bins, above, axis=-1)
+    # the four row-wise gathers as two one-hot dots (take_along_axis lowers
+    # to ~1-2ms dynamic gathers each on TPU v5e; the dots are exact since
+    # every one-hot row has a single 1 — see _gather_cols / docs/PROFILE.md)
+    cb = jnp.stack([cdf, bins], axis=1)  # (R, 2, B)
+    g0 = _gather_cols(cb, below)  # (R, 2, N)
+    g1 = _gather_cols(cb, above)
+    cdf_g0, bins_g0 = g0[:, 0, :], g0[:, 1, :]
+    cdf_g1, bins_g1 = g1[:, 0, :], g1[:, 1, :]
 
     denom = cdf_g1 - cdf_g0
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
     t = (u - cdf_g0) / denom
     return bins_g0 + t * (bins_g1 - bins_g0)
+
+
+def _gather_cols(vals: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Row-wise gather ``out[r, c, n] = vals[r, c, idx[r, n]]`` as a one-hot
+    dot (vals (R, C, B), idx (R, N) -> (R, C, N)). Bit-exact: each one-hot
+    column has exactly one nonzero, so the "sum" is a copy. Rides the
+    MXU/VPU instead of TPU dynamic-gather (see docs/PROFILE.md)."""
+    B = vals.shape[-1]
+    onehot = (
+        jnp.arange(B, dtype=idx.dtype)[None, :, None] == idx[:, None, :]
+    ).astype(vals.dtype)  # (R, B, N)
+    return jax.lax.dot_general(
+        vals,
+        onehot,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=vals.dtype,
+    )
 
 
 def up_sample(
@@ -152,13 +173,28 @@ def _merge_sorted(a: jnp.ndarray, b: jnp.ndarray):
     return pos_a, pos_b
 
 
-def _scatter_rows(pos_a, vals_a, pos_b, vals_b, total: int):
-    R = pos_a.shape[0]
-    out = jnp.zeros((R, total), vals_a.dtype)
-    row = jnp.arange(R)[:, None]
-    out = out.at[row, pos_a].set(vals_a)
-    out = out.at[row, pos_b].set(vals_b)
-    return out
+def _permute_rows(pos, vals, total: int):
+    """Place ``vals[r, i]`` at output column ``pos[r, i]`` for one or more
+    value channels.
+
+    ``pos`` is (R, S) with each row a permutation of a subset of
+    range(total); ``vals`` is (R, C, S). Implemented as a one-hot matmul
+    (``vals^T @ onehot(pos)``) instead of ``out.at[row, pos].set(vals)``:
+    profiling the full train_clip step showed each 700k-element scatter
+    costing ~3ms on TPU v5e (14 of them = 25% of the whole step,
+    docs/PROFILE.md) while the equivalent batched (C,S)x(S,total) matmul
+    rides the MXU in microseconds. The one-hot weights are exactly 0/1 so
+    the result is bit-exact for f32 values.
+    """
+    onehot = (pos[:, :, None] == jnp.arange(total)[None, None, :]).astype(
+        vals.dtype
+    )
+    return jax.lax.dot_general(
+        vals,
+        onehot,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=vals.dtype,
+    )  # (R, C, total)
 
 
 def cat_z_vals(
@@ -174,13 +210,26 @@ def cat_z_vals(
     (renderer.py:179-193) via rank-merge instead of a sort."""
     A, B = z_vals.shape[-1], new_z_vals.shape[-1]
     pos_a, pos_b = _merge_sorted(z_vals, new_z_vals)
-    z_merged = _scatter_rows(pos_a, z_vals, pos_b, new_z_vals, A + B)
+    pos_cat = jnp.concatenate([pos_a, pos_b], axis=-1)  # (R, A+B)
     if last:
-        return z_merged, sdf
+        vals_a = z_vals[:, None, :]  # (R, 1, A)
+        vals_b = new_z_vals[:, None, :]
+        merged = _permute_rows(
+            pos_cat, jnp.concatenate([vals_a, vals_b], axis=-1), A + B
+        )
+        return merged[:, 0, :], sdf
     pts = rays_o[:, None, :] + rays_d[:, None, :] * new_z_vals[..., None]
     new_sdf = sdf_fn(pts.reshape(-1, 3)).reshape(new_z_vals.shape)
-    sdf_merged = _scatter_rows(pos_a, sdf, pos_b, new_sdf, A + B)
-    return z_merged, sdf_merged
+    # one one-hot permutation applied to both channels (z, sdf) at once
+    vals = jnp.concatenate(
+        [
+            jnp.stack([z_vals, sdf], axis=1),  # (R, 2, A)
+            jnp.stack([new_z_vals, new_sdf], axis=1),  # (R, 2, B)
+        ],
+        axis=-1,
+    )
+    merged = _permute_rows(pos_cat, vals, A + B)  # (R, 2, A+B)
+    return merged[:, 0, :], merged[:, 1, :]
 
 
 def render_core_outside(
