@@ -101,10 +101,15 @@ def write_glb(
     parents: np.ndarray = SMPL_PARENTS,
     motion_rots: np.ndarray | None = None,  # (T, 24, 3, 3) per-frame rotations
     fps: float = 30.0,
+    blendshapes: list[tuple[str, np.ndarray]] | None = None,
 ) -> None:
     """Rigged GLB; with ``motion_rots`` the motion is baked in as a glTF
     animation (rotation channel per joint) — one self-contained animated
-    avatar file, beyond the reference's static FBX + separate .pc2."""
+    avatar file, beyond the reference's static FBX + separate .pc2.
+
+    ``blendshapes`` is a list of (name, (V, 3) position offsets) emitted as
+    glTF morph targets — the counterpart of the reference's FBX blendshape
+    channel (fbx_utils.py:277-292 AddShape)."""
     verts = np.ascontiguousarray(verts, np.float32)
     faces = np.ascontiguousarray(faces, np.uint32)
     j_idx, j_w = _top4_weights(weights)
@@ -210,18 +215,27 @@ def write_glb(
             {"name": "motion", "channels": channels, "samplers": samplers}
         ]
 
+    primitive = {"attributes": attr, "indices": a_idx, "mode": 4}
+    mesh = {"primitives": [primitive]}
+    if blendshapes:
+        primitive["targets"] = [
+            {
+                "POSITION": accessor(
+                    np.ascontiguousarray(off, np.float32), 5126, "VEC3", V,
+                    target=34962, minmax=True,
+                )
+            }
+            for _, off in blendshapes
+        ]
+        mesh["weights"] = [0.0] * len(blendshapes)
+        mesh["extras"] = {"targetNames": [n for n, _ in blendshapes]}
+
     gltf = {
         "asset": {"version": "2.0", "generator": "avatarclip_tpu"},
         "scene": 0,
         "scenes": [{"nodes": [0, 1]}],
         "nodes": nodes,
-        "meshes": [
-            {
-                "primitives": [
-                    {"attributes": attr, "indices": a_idx, "mode": 4}
-                ]
-            }
-        ],
+        "meshes": [mesh],
         "skins": [
             {
                 "inverseBindMatrices": a_ibm,
@@ -279,10 +293,17 @@ def write_fbx_ascii(
     joints_rest: np.ndarray,
     joint_names: list[str] = MIXAMO_NAMES,
     parents: np.ndarray = SMPL_PARENTS,
+    blendshapes: list[tuple[str, np.ndarray]] | None = None,
 ) -> None:
     """Minimal rigged FBX ASCII: mesh + per-vertex colors + LimbNode skeleton
     + skin clusters binding the SMPL weights (the fbx_utils.py:93-320 scene
-    contract, serialized directly instead of through the C++ FBX SDK)."""
+    contract, serialized directly instead of through the C++ FBX SDK).
+
+    ``blendshapes`` is a list of (channel name, (V, 3) position offsets)
+    serialized as a BlendShape deformer with one BlendShapeChannel + Shape
+    geometry per entry — the fbx_utils.py:277-292 ``AddShape`` contract
+    (whose single channel carries all-zero offsets; pass
+    ``[("ShapeChannel0", np.zeros((V, 3)))]`` for bit-parity)."""
     verts = np.asarray(verts, np.float64)
     faces = np.asarray(faces, np.int64)
     V, J = len(verts), 24
@@ -294,6 +315,10 @@ def write_fbx_ascii(
     joint_model_ids = [next(uid) for _ in range(J)]
     joint_attr_ids = [next(uid) for _ in range(J)]
     cluster_ids = [next(uid) for _ in range(J)]
+    blendshapes = blendshapes or []
+    bshape_id = next(uid) if blendshapes else None
+    channel_ids = [next(uid) for _ in blendshapes]
+    shape_geom_ids = [next(uid) for _ in blendshapes]
 
     def fmt_list(arr, per_line=12):
         arr = np.asarray(arr).reshape(-1)
@@ -410,6 +435,39 @@ def write_fbx_ascii(
         w(f"\t\t\ta: {fmt_list(tf.T)}")
         w("\t\t}")
         w("\t}")
+
+    # blendshape deformer (fbx_utils.py:277-292 AddShape): only vertices with
+    # a nonzero offset are listed (FBX shapes are sparse); an all-zero channel
+    # degenerates to an empty index list, exactly like the reference's stub
+    if blendshapes:
+        w(f'\tDeformer: {bshape_id}, "Deformer::BlendShapes", "BlendShape" {{')
+        w("\t\tVersion: 100")
+        w("\t}")
+        for ci, (name, off) in enumerate(blendshapes):
+            off = np.asarray(off, np.float64).reshape(V, 3)
+            nz = np.nonzero(np.abs(off).sum(axis=1) > 0.0)[0]
+            w(
+                f'\tDeformer: {channel_ids[ci]}, "SubDeformer::{name}", '
+                '"BlendShapeChannel" {'
+            )
+            w("\t\tVersion: 100")
+            w("\t\tDeformPercent: 0")
+            w("\t\tFullWeights: *1 {")
+            w("\t\t\ta: 100")
+            w("\t\t}")
+            w("\t}")
+            w(
+                f'\tGeometry: {shape_geom_ids[ci]}, "Geometry::{name}", '
+                '"Shape" {'
+            )
+            w("\t\tVersion: 100")
+            w(f"\t\tIndexes: *{len(nz)} {{")
+            w(f"\t\t\ta: {fmt_list(nz)}")
+            w("\t\t}")
+            w(f"\t\tVertices: *{3 * len(nz)} {{")
+            w(f"\t\t\ta: {fmt_list(off[nz])}")
+            w("\t\t}")
+            w("\t}")
     w("}")
 
     # connections
@@ -426,6 +484,11 @@ def write_fbx_ascii(
     for j in range(J):
         w(f"\tC: \"OO\",{cluster_ids[j]},{skin_id}")
         w(f"\tC: \"OO\",{joint_model_ids[j]},{cluster_ids[j]}")
+    if blendshapes:
+        w(f"\tC: \"OO\",{bshape_id},{geom_id}")
+        for ci in range(len(blendshapes)):
+            w(f"\tC: \"OO\",{channel_ids[ci]},{bshape_id}")
+            w(f"\tC: \"OO\",{shape_geom_ids[ci]},{channel_ids[ci]}")
     w("}")
 
     with open(path, "w") as f:
@@ -439,13 +502,19 @@ def export_rigged(
     simplify: bool = True,
     motion_npy: str | None = None,
     fps: float = 30.0,
+    blendshape_stub: bool = False,
 ):
     """One-call export: PLY -> rigged .glb / .fbx (export_fbx.py:31-138).
     With ``motion_npy`` (an AvatarAnimate motion) and a .glb target, the
-    motion is baked into the file as a glTF animation."""
+    motion is baked into the file as a glTF animation. ``blendshape_stub``
+    adds the reference's single zero-offset blendshape channel
+    (fbx_utils.py:277-292 AddShape) to the emitted asset."""
     tpose, faces, colors, weights, joints = prepare_rigged_avatar(
         mesh_ply, smpl_path=smpl_path, simplify=simplify
     )
+    blendshapes = None
+    if blendshape_stub:
+        blendshapes = [("ShapeChannel0", np.zeros((len(tpose), 3), np.float32))]
     motion_rots = None
     if motion_npy is not None:
         from . import drive as drive_mod
@@ -454,10 +523,13 @@ def export_rigged(
     if out_path.endswith(".glb"):
         write_glb(
             out_path, tpose, faces, colors, weights, joints,
-            motion_rots=motion_rots, fps=fps,
+            motion_rots=motion_rots, fps=fps, blendshapes=blendshapes,
         )
     elif out_path.endswith(".fbx"):
-        write_fbx_ascii(out_path, tpose, faces, colors, weights, joints)
+        write_fbx_ascii(
+            out_path, tpose, faces, colors, weights, joints,
+            blendshapes=blendshapes,
+        )
     else:
         raise ValueError("out_path must end in .glb or .fbx")
     return out_path
@@ -474,10 +546,14 @@ def main(argv=None):
     parser.add_argument("--motion", type=str, default=None,
                         help="motion .npy to bake as a glTF animation")
     parser.add_argument("--fps", type=float, default=30.0)
+    parser.add_argument("--blendshape_stub", action="store_true",
+                        help="add the reference's zero-offset blendshape "
+                             "channel (fbx_utils.py AddShape)")
     args = parser.parse_args(argv)
     export_rigged(
         args.ply, args.out, smpl_path=args.smpl_model_folder,
         simplify=not args.no_simplify, motion_npy=args.motion, fps=args.fps,
+        blendshape_stub=args.blendshape_stub,
     )
 
 

@@ -739,12 +739,23 @@ class Runner:
         self.logger = MetricsLogger(os.path.join(self.base_exp_dir, "logs"))
         step = self._make_photometric_step()
         res_step = self.tc.end_iter - self.iter_step
+        import time as _time
+
+        t_last, it_last = _time.perf_counter(), self.iter_step
         for _ in range(res_step):
             self.key, k = jax.random.split(self.key)
             self.params, self.opt_state, metrics = step(
                 self.params, self.opt_state, k, self.iter_step
             )
             self.iter_step += 1
+            if self.iter_step % self.tc.report_freq == 0:
+                # rays/sec observability (SURVEY.md §5: per-step timing)
+                jax.block_until_ready(self.params)
+                now = _time.perf_counter()
+                n_it = self.iter_step - it_last
+                metrics = dict(metrics)
+                metrics["iters_per_sec"] = n_it / (now - t_last)
+                t_last, it_last = now, self.iter_step
             self._post_iter(metrics)
 
     def train_clip(self):

@@ -201,3 +201,40 @@ def test_glb_with_baked_animation(avatar_ply, tmp_path):
         dtype=np.float32,
     ).reshape(6, 4)
     np.testing.assert_allclose(np.linalg.norm(q, axis=1), 1.0, atol=1e-5)
+
+
+def test_blendshape_channels(avatar_ply, tmp_path):
+    """Blendshape counterparts of the reference AddShape
+    (Avatar2FBX/utils/fbx_utils.py:277-292): the zero-offset stub channel in
+    FBX ASCII, and a real morph target in GLB."""
+    out_fbx = str(tmp_path / "avatar_bs.fbx")
+    rigged.export_rigged(avatar_ply, out_fbx, simplify=True,
+                         blendshape_stub=True)
+    text = open(out_fbx).read()
+    assert '"BlendShape"' in text
+    assert 'SubDeformer::ShapeChannel0' in text and '"BlendShapeChannel"' in text
+    # the reference stub carries all-zero offsets -> empty sparse index list
+    assert "Indexes: *0" in text
+
+    # GLB morph target with a real (nonzero) offset
+    tpose, faces, colors, weights, joints = rigged.prepare_rigged_avatar(
+        avatar_ply, simplify=True
+    )
+    off = np.zeros((len(tpose), 3), np.float32)
+    off[:10, 1] = 0.05
+    out_glb = str(tmp_path / "avatar_bs.glb")
+    rigged.write_glb(out_glb, tpose, faces, colors, weights, joints,
+                     blendshapes=[("smile", off)])
+    js, bin_data = rigged.read_glb(out_glb)
+    prim = js["meshes"][0]["primitives"][0]
+    assert "targets" in prim and len(prim["targets"]) == 1
+    assert js["meshes"][0]["extras"]["targetNames"] == ["smile"]
+    assert js["meshes"][0]["weights"] == [0.0]
+    acc = js["accessors"][prim["targets"][0]["POSITION"]]
+    bv = js["bufferViews"][acc["bufferView"]]
+    got = np.frombuffer(
+        bin_data[bv["byteOffset"]: bv["byteOffset"] + bv["byteLength"]],
+        dtype=np.float32,
+    ).reshape(-1, 3)
+    np.testing.assert_allclose(got, off, atol=0)
+    assert js["buffers"][0]["byteLength"] == len(bin_data)
