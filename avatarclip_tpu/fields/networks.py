@@ -163,9 +163,12 @@ def sdf_apply(
             lp = jax.tree_util.tree_map(lambda a: a[:1], lp)
         x = linear_apply(lp, x, cfg.dtype)
         if l < n - 2:
-            # store the inter-layer activation in the compute dtype: the 800k
-            # point sweeps are HBM-bound, f32 activations double the traffic
-            x = _softplus100(x).astype(act_dt)
+            # activation IN the compute dtype, not just cast after: the
+            # softplus residual XLA saves for the backward (and the cotangent
+            # streamed back through it) then live in bf16 — at 802k points x
+            # 256 wide, f32 residuals alone are ~822MB of HBM traffic per
+            # layer per pass (docs/PROFILE.md round-2 trace)
+            x = _softplus100(x.astype(act_dt))
     x = x.astype(jnp.float32)
     return jnp.concatenate([x[..., :1] / cfg.scale, x[..., 1:]], axis=-1)
 
@@ -274,7 +277,7 @@ def color_apply(
     for l, lp in enumerate(params["layers"]):
         x = linear_apply(lp, x, cfg.dtype)
         if l < n - 2:
-            x = jax.nn.relu(x).astype(act_dt)
+            x = jax.nn.relu(x.astype(act_dt))  # bf16 residuals, see sdf_apply
         if cfg.extra_color and l == n - 3:
             extra_x = linear_apply(params["extra"], x, cfg.dtype)
     x = x.astype(jnp.float32)

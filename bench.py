@@ -64,17 +64,35 @@ def main():
         dt = time.perf_counter() - t0
 
     rays_per_sec = R * iters / dt
+
+    # MFU estimate: XLA's own FLOP count for the compiled step against the
+    # chip's bf16 peak (v5e: 197 TFLOP/s). Advisory — XLA counts matmul
+    # FLOPs only, so this is a lower bound on useful work.
+    mfu_pct = None
+    try:
+        with contextlib.redirect_stdout(sys.stderr):
+            comp = runner._clip_step_jit.lower(
+                params, opt_state, key, 0, runner._clip_const
+            ).compile()
+            an = comp.cost_analysis()
+            if isinstance(an, list):
+                an = an[0]
+            flops = float(an["flops"])
+        tflops_sustained = flops * iters / dt / 1e12
+        mfu_pct = round(100.0 * tflops_sustained / 197.0, 2)
+    except Exception as e:
+        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
+
     baseline = 40_000.0
-    print(
-        json.dumps(
-            {
-                "metric": "train_clip NeuS rays/sec/chip (full fused step)",
-                "value": round(rays_per_sec, 1),
-                "unit": "rays/s",
-                "vs_baseline": round(rays_per_sec / baseline, 3),
-            }
-        )
-    )
+    out = {
+        "metric": "train_clip NeuS rays/sec/chip (full fused step)",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / baseline, 3),
+    }
+    if mfu_pct is not None:
+        out["mfu_pct_vs_v5e_bf16_peak"] = mfu_pct
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
