@@ -154,6 +154,13 @@ class TrainConfig:
     val_mesh_freq: int = 500
     validate_resolution_level: int = 1
     silhouette_res: int = 0  # 0 => derived from max_ray_num
+    # Adaptive silhouette resolution (reference dataset.py:252-275 semantics:
+    # pick the ray-grid resolution per iteration so in-mask rays ~ max_ray_num
+    # AND the dense CLIP image has no unrendered in-mask holes). Each bucket
+    # is one precompiled step variant, selected host-side per iteration from
+    # the camera distance via a calibrated coverage table. Empty = single
+    # static sil_res (round-1 behavior).
+    sil_buckets: Sequence[int] = ()
     gt_render_res: int = 0  # template GT render res; 0 = selection res
     # (the reference renders at 256 then downsamples to the ray grid,
     # main.py:376; rendering directly at the ray resolution removes a third
@@ -177,6 +184,9 @@ def train_config_from_conf(conf) -> TrainConfig:
     for f in dataclasses.fields(TrainConfig):
         if f.name == "clip_weight":
             kw[f.name] = g.get_float("clip_weight", None)
+        elif f.name == "sil_buckets":
+            if f.name in g:
+                kw[f.name] = tuple(int(b) for b in g._resolve(f.name))
         elif f.name in g:
             v = g._resolve(f.name)
             kw[f.name] = v
@@ -295,6 +305,7 @@ class Runner:
 
         seed = conf.get_int("train.seed", 0) or 0
         self.key = jax.random.PRNGKey(seed)
+        self._camera_seed = seed  # host-side camera stream (train_clip)
 
         self.pose_type = conf.get_string("general.pose_type", "stand_pose")
         assert self.pose_type in ("stand_pose", "t_pose")
@@ -489,7 +500,12 @@ class Runner:
 
         return bound
 
-    def _make_clip_step(self):
+    def _make_clip_step_at(self, S: int):
+        """Build the jitted train_clip step for one silhouette/ray-grid
+        resolution ``S``. The per-iteration camera is sampled host-side
+        (cameras.sample_training_camera) and passed in as arguments — that is
+        what lets the adaptive-resolution dispatch pick this variant from the
+        camera distance without a device sync."""
         tc, ncfg, cfgs = self.tc, self.ncfg, self.cfgs
         opt = self.optimizer
         _clip_params, clip_cfg = self._clip
@@ -504,7 +520,6 @@ class Runner:
         }
         template_f = jnp.asarray(template_f)
 
-        S = tc.sil_res
         GT = tc.gt_render_res or S
         SENSOR = ds.W  # ray grids sample the dataset sensor's frustum
         R = pmesh.pad_to_multiple(
@@ -514,30 +529,18 @@ class Runner:
         dil_iters = max(1, round(10 * S / 256))
         focal = ds.focal  # focal for the SENSOR-wide pinhole
         focal_gt = focal * GT / SENSOR  # same frustum at GT raster resolution
-        use_face = tc.use_face_prompt
         use_back = tc.use_back_prompt
 
         @jax.jit
-        def step(params, opt_state, key, it, const):
+        def step(params, opt_state, key, it, const, cam):
             clip_params = const["clip"]
             encoded_texts = const["texts"]
             template_v = const["template_v"]
             ks = jax.random.split(key, 10)
-            face_iter = jnp.asarray(use_face) & (it % 4 == 0)
-
-            # cameras (main.py:348-359)
-            eye_f, th_f, ph_f, _ = cameras.random_eye(
-                ks[9], is_front=1, distance=0.4, theta_std=np.pi / 12
-            )
-            at_f = jnp.array([0.0, tc.head_height, 0.3])
-            eye_b, th_b, ph_b, front_b = cameras.random_eye_normal(ks[0])
-            at_b = cameras.random_at(ks[1])
-            eye = jnp.where(face_iter, eye_f + at_f, eye_b + at_b)
-            at = jnp.where(face_iter, at_f, at_b)
-            theta = jnp.where(face_iter, th_f, th_b)
-            phi = jnp.where(face_iter, ph_f, ph_b)
-            is_front = jnp.where(face_iter, 1, front_b)
-            pose = cameras.lookat(eye, at, jnp.array([0.0, 1.0, 0.0]))
+            # camera sampled host-side (main.py:348-359 semantics)
+            pose = cam["pose"]
+            theta, phi = cam["theta"], cam["phi"]
+            is_front, face_iter = cam["is_front"], cam["face_iter"]
 
             # GT template render, detached (main.py:360)
             gt = raster.render_mesh(
@@ -562,6 +565,7 @@ class Runner:
             else:
                 idx = jnp.arange(R)
                 dilated = jnp.ones((S, S), bool)
+                sel = jnp.ones((S, S), bool)
             rays_o = rays_o_g.reshape(-1, 3)[idx]
             rays_d = rays_d_g.reshape(-1, 3)[idx]
             rays_o = pmesh.constrain_data(rays_o)
@@ -658,11 +662,23 @@ class Runner:
                 def scatter(vals, fill):
                     return fill.at[idx].set(vals)
 
-                color_dense = scatter(color_fine, jnp.zeros((S * S, 3)))
-                ws_dense = scatter(ws[:, None], jnp.zeros((S * S, 1)))
-                extra_dense = scatter(extra, bg3)
-                tex_dense = scatter(texture_shading, bg3)
-                shade_dense = scatter(shading_rgb, bg3)
+                # Unrendered-pixel fills. The reference renders EVERY
+                # dilated-mask pixel (adaptive resolution, dataset.py:258);
+                # with a static ray budget, body pixels beyond the budget
+                # would otherwise show the scatter default. Fill them so
+                # (a) the CLIP images have no background-colored holes inside
+                # the body — the GT template color stands in, and (b) the
+                # color/mask losses are computed over rendered pixels only
+                # (unrendered pixels get exactly their target, contributing
+                # zero loss and zero gradient — reference semantics, where
+                # those pixels simply don't exist in the W^2 grid).
+                body = mask_img.reshape(-1, 1) > 0.5
+                clip_fill = jnp.where(body, true_rgb, bg3)
+                color_dense = scatter(color_fine, true_rgb)
+                ws_dense = scatter(ws[:, None], body.astype(jnp.float32))
+                extra_dense = scatter(extra, clip_fill)
+                tex_dense = scatter(texture_shading, clip_fill)
+                shade_dense = scatter(shading_rgb, clip_fill)
 
                 # losses (main.py:489-534)
                 color_error = (color_dense - true_rgb) * mask
@@ -726,10 +742,138 @@ class Runner:
             params = optax.apply_updates(params, updates)
             return params, opt_state, metrics
 
-        const = self._clip_const
+        # exposed for cost analysis (bench.py MFU estimate)
+        self._clip_step_jit = step
+        return step
+
+    def _calibrate_sil_coverage(self):
+        """Measure dilated-mask coverage of the GT template as a function of
+        camera distance (and for the face camera), once per runner.
+
+        The reference picks its ray-grid resolution per iteration from the
+        TRUE dilated-mask coverage (dataset.py:252-260); computing that on
+        device would cost a ~68ms host sync per step here, so instead we
+        calibrate coverage(distance) by rasterizing the template from a small
+        grid of calibration cameras and interpolate at train time. The per-d
+        maximum over azimuths biases the estimate high, which biases the
+        chosen resolution low — toward spending extra rays outside the mask
+        rather than leaving unrendered holes inside the CLIP image."""
+        tc, ds = self.tc, self.dataset
+        template_v, template_f = self._template
+        template_f = jnp.asarray(template_f)
+        Sc = 128
+        focal_c = ds.focal * Sc / ds.W
+        dil_c = max(1, round(10 * Sc / 256))
+
+        @jax.jit
+        def coverage(pose):
+            out = raster.render_mesh(
+                template_v, template_f, pose, Sc, Sc, focal_c, chunk=2048
+            )
+            mask = out["rgb"].sum(-1) > 1e-6
+            return cameras.dilate_mask(mask, dil_c).mean()
+
+        def cov_at(eye, at):
+            pose = jnp.asarray(
+                cameras._lookat_np(
+                    np.asarray(eye, np.float32),
+                    np.asarray(at, np.float32),
+                    np.array([0.0, 1.0, 0.0], np.float32),
+                )
+            )
+            return coverage(pose)
+
+        dists = np.linspace(0.35, 2.3, 12)
+        # view directions spanning the training camera distribution
+        # (sphere_coord: theta=0 is +z/front; theta with phi=0 sweeps the
+        # horizontal orbit; phi=pi/2 tilts toward overhead). The mean over
+        # directions centers the estimate; overflow from the residual
+        # per-view variation is absorbed by the unrendered-pixel fill in the
+        # step (no CLIP-image holes).
+        dirs = ((0.0, 0.0), (np.pi / 3, 0.0), (2 * np.pi / 3, 0.0),
+                (np.pi / 2, np.pi / 2))
+        covs = []
+        for d in dists:
+            per_dir = [
+                cov_at(cameras._sphere_coord_np(t, p, d), np.zeros(3))
+                for t, p in dirs
+            ]
+            covs.append(jnp.stack(per_dir).mean())
+        at_f = np.array([0.0, tc.head_height, 0.3], np.float32)
+        face_covs = [
+            cov_at(cameras._sphere_coord_np(t, 0.0, 0.4) + at_f, at_f)
+            for t in (0.0, np.pi / 6)
+        ]
+        face_cov = jnp.stack(face_covs).mean()
+        # ONE host sync for the whole table
+        covs = np.asarray(jax.device_get(jnp.stack(covs + [face_cov])))
+        self._sil_cov_table = (dists, np.clip(covs[:-1], 1e-3, 1.0))
+        self._sil_cov_face = float(np.clip(covs[-1], 1e-3, 1.0))
+
+    def _pick_sil_bucket(self, buckets, cam):
+        """Bucket closest (in log space) to the reference's adaptive
+        resolution W = min(sensor, sqrt(max_ray_num / coverage))
+        (dataset.py:258), using the calibrated coverage(distance) estimate.
+        Nearest rounding bounds the on-body ray-count error by the bucket
+        ratio (+-14% for the default ladder); when the true coverage
+        overshoots the estimate, body pixels beyond the budget are filled
+        with the GT template color inside the step instead of leaving
+        background-colored holes in the CLIP image."""
+        if cam["face_iter"]:
+            c = self._sil_cov_face
+        else:
+            dists, covs = self._sil_cov_table
+            c = float(np.interp(cam["distance"], dists, covs))
+        s_star = min(
+            float(self.dataset.W),
+            np.sqrt(self.tc.max_ray_num / max(c, 1e-3)),
+        )
+        return min(buckets, key=lambda b: abs(np.log(b / s_star)))
+
+    def _make_clip_step(self):
+        """Returns step(params, opt_state, key, it): samples the camera on
+        the host, picks the silhouette-resolution bucket (when
+        train.sil_buckets is set), and dispatches to the precompiled jitted
+        variant for that resolution."""
+        tc = self.tc
+        buckets = tuple(sorted(tc.sil_buckets)) or (tc.sil_res,)
+        if len(buckets) > 1:
+            assert min(buckets) ** 2 >= tc.max_ray_num, (
+                f"every sil bucket must hold the full ray budget: "
+                f"{min(buckets)}^2 < {tc.max_ray_num}"
+            )
+            if not hasattr(self, "_sil_cov_table"):
+                self._calibrate_sil_coverage()
+        variants: dict[int, Any] = {}
+        if len(buckets) == 1:  # eager: single-variant path compiles up front
+            variants[buckets[0]] = self._make_clip_step_at(buckets[0])
+        seed = self._camera_seed
 
         def bound(params, opt_state, key, it):
-            return step(params, opt_state, key, it, const)
+            it = int(it)
+            face_iter = bool(tc.use_face_prompt) and (it % 4 == 0)
+            rng = np.random.default_rng([seed, it])
+            cam = cameras.sample_training_camera(rng, face_iter, tc.head_height)
+            S = (
+                self._pick_sil_bucket(buckets, cam)
+                if len(buckets) > 1
+                else buckets[0]
+            )
+            if S not in variants:
+                variants[S] = self._make_clip_step_at(S)
+            self._last_sil_res = S  # observability + tests
+            cam_args = {
+                "pose": cam["pose"],
+                "theta": cam["theta"],
+                "phi": cam["phi"],
+                "is_front": cam["is_front"],
+                "face_iter": np.bool_(cam["face_iter"]),
+            }
+            # example args for compiled-step introspection (bench.py MFU)
+            self._clip_cam_example = cam_args
+            return variants[S](
+                params, opt_state, key, it, self._clip_const, cam_args
+            )
 
         return bound
 

@@ -104,6 +104,68 @@ def focal_from_fov(width: int, fov_x_rad: float) -> float:
     return 0.5 * width / float(np.tan(0.5 * fov_x_rad))
 
 
+def _sphere_coord_np(theta: float, phi: float, r: float) -> np.ndarray:
+    return np.array(
+        [
+            r * np.sin(theta) * np.cos(phi),
+            r * np.sin(theta) * np.sin(phi),
+            r * np.cos(theta),
+        ],
+        np.float32,
+    )
+
+
+def _lookat_np(eye: np.ndarray, at: np.ndarray, up: np.ndarray) -> np.ndarray:
+    z = eye - at
+    z = z / np.linalg.norm(z)
+    x = np.cross(up, z)
+    x = x / np.linalg.norm(x)
+    y = np.cross(z, x)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 0], pose[:3, 1], pose[:3, 2], pose[:3, 3] = x, y, z, eye
+    return pose
+
+
+def sample_training_camera(
+    rng: np.random.Generator, face_iter: bool, head_height: float
+):
+    """Host-side (numpy) counterpart of the per-iteration train_clip camera
+    sampling (main.py:348-359; the jnp versions above): every-4th-iter face
+    camera at distance 0.4 aimed at the head, otherwise a random full-body
+    camera at distance U(1,2) with a jittered look-at.
+
+    Runs entirely on the host so the adaptive-silhouette-resolution dispatch
+    (pipelines/appearance.py) can pick a precompiled step variant from the
+    camera distance WITHOUT a device sync (~68ms round-trip here). Returns a
+    dict of plain numpy values; the pose/scalars become jit arguments.
+    """
+    if face_iter:
+        dist = 0.4
+        phi = rng.uniform(0.0, 2.0 * np.pi)
+        theta = float(
+            np.clip(rng.normal() * (np.pi / 12.0), -np.pi / 2, np.pi / 2)
+        )
+        is_front = 1
+        at = np.array([0.0, head_height, 0.3], np.float32)
+        eye = _sphere_coord_np(theta, phi, dist) + at
+    else:
+        dist = float(rng.uniform(1.0, 2.0))
+        phi = rng.uniform(0.0, 2.0 * np.pi)
+        theta = float(rng.normal() * (np.pi / 3.0))
+        is_front = int(-np.pi / 2 <= theta <= np.pi / 2)
+        at = np.clip(rng.normal(size=3) * 0.1, -0.3, 0.3).astype(np.float32)
+        eye = _sphere_coord_np(theta, phi, dist) + at
+    pose = _lookat_np(eye, at, np.array([0.0, 1.0, 0.0], np.float32))
+    return {
+        "pose": pose,
+        "theta": np.float32(theta),
+        "phi": np.float32(phi),
+        "is_front": np.int32(is_front),
+        "face_iter": bool(face_iter),
+        "distance": float(dist),
+    }
+
+
 def pixel_grid_rays(
     pose: jnp.ndarray,
     H: int,

@@ -72,7 +72,8 @@ def main():
     try:
         with contextlib.redirect_stdout(sys.stderr):
             comp = runner._clip_step_jit.lower(
-                params, opt_state, key, 0, runner._clip_const
+                params, opt_state, key, 0, runner._clip_const,
+                runner._clip_cam_example,
             ).compile()
             an = comp.cost_analysis()
             if isinstance(an, list):
