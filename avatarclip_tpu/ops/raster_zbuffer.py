@@ -1,0 +1,133 @@
+"""Pallas TPU kernel: fused z-buffer face selection for the rasterizer.
+
+The XLA rasterizer (render/raster.py `rasterize`) evaluates
+``pix (P,3) @ coef (3,4F)`` in face chunks under a scan; the (P, chunk, 4)
+edge/depth intermediate is its bandwidth bill — ~4 GB of HBM traffic per
+192^2 x 13.8k-face GT template render (~15 ms on v5e, 16% of the train_clip
+step, docs/PROFILE.md). This kernel keeps the whole (pixel-block x
+face-block) tile in VMEM: four small MXU dots produce the three barycentric
+edge values and the screen-linear inverse depth, the winner is packed as
+``(quantized inv_z << 14) | global_face_id`` and max-accumulated into the
+revisited output block across the sequential face-block grid dimension —
+nothing of size P x F ever reaches HBM.
+
+The kernel returns only the winning face id per pixel (an argmax — discrete,
+no gradient), exactly like the XLA scan it replaces; the caller recomputes
+exact barycentrics and inverse depth for the winner from the differentiable
+coefficients, so gradients w.r.t. vertices are untouched.
+
+Precision: the selection key quantizes inv_z to 2^-15 (the XLA path uses
+2^-16 with an 11-bit local id); ties resolve toward the higher face id. The
+winner's depth/barycentrics are recomputed exactly afterwards either way.
+
+Used for the detached GT template renders (reference:
+AvatarGen/AppearanceGen/main.py:360 ``render_one_batch``) and every other
+hard-raster call when running natively on TPU; CPU/interpret falls back to
+the XLA scan.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PBLOCK = 1024  # pixels per tile
+FBLOCK = 512  # faces per tile
+FID_BITS = 14  # supports F < 16384 per raster call after padding
+IZ_SCALE = 32768.0  # inv-depth quantization (2^15 steps per unit 1/z)
+IZ_MAX = float(2 ** (31 - FID_BITS) - 1)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _zbuffer_kernel(c0_ref, c1_ref, c2_ref, cz_ref, vmask_ref, pix_ref, out_ref):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[...] = jnp.full_like(out_ref, -1)
+
+    pix = pix_ref[...]  # (PBLOCK, 3) f32
+    # four (PBLOCK,3)x(3,FBLOCK) dots: the entire tile stays in VMEM
+    dot = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    b0 = dot(pix, c0_ref[...])
+    b1 = dot(pix, c1_ref[...])
+    b2 = dot(pix, c2_ref[...])
+    iz = dot(pix, cz_ref[...])
+
+    inside = (
+        (b0 >= 0.0)
+        & (b1 >= 0.0)
+        & (b2 >= 0.0)
+        & (iz > 0.0)
+        & (vmask_ref[...] > 0)
+    )
+    izq = jnp.clip(iz * IZ_SCALE, 0.0, IZ_MAX).astype(jnp.int32)
+    fid = j * FBLOCK + jax.lax.broadcasted_iota(jnp.int32, izq.shape, 1)
+    key = jnp.where(inside, izq * (2**FID_BITS) + fid, -1)
+    best = jnp.max(key, axis=1, keepdims=True)  # (PBLOCK, 1)
+    out_ref[...] = jnp.maximum(out_ref[...], best)
+
+
+def zbuffer_select(
+    pix: jnp.ndarray,  # (P, 3) f32 pixel matrix [px, py, 1]
+    coef: jnp.ndarray,  # (F, 3, 4) face coefficients (raster._face_coefficients)
+    valid: jnp.ndarray,  # (F,) bool
+    interpret: bool = False,
+):
+    """Returns (best_face (P,) int32 with -1 = background).
+
+    Fused replacement for the chunked-scan winner selection in
+    render/raster.py `rasterize`.
+    """
+    P, F = pix.shape[0], coef.shape[0]
+    assert F <= 2**FID_BITS, f"too many faces for the packed key: {F}"
+    p_pad = _round_up(P, PBLOCK) - P
+    f_pad = _round_up(F, FBLOCK) - F
+    if p_pad:
+        pix = jnp.concatenate([pix, jnp.zeros((p_pad, 3), pix.dtype)], 0)
+    if f_pad:
+        coef = jnp.concatenate([coef, jnp.zeros((f_pad, 3, 4), coef.dtype)], 0)
+        valid = jnp.concatenate([valid, jnp.zeros((f_pad,), bool)], 0)
+    Pp, Fp = pix.shape[0], coef.shape[0]
+
+    # (F, 3, 4) -> four (3, F) operand matrices
+    ct = coef.transpose(1, 0, 2)  # (3, F, 4)
+    c0, c1, c2, cz = (ct[..., k].astype(jnp.float32) for k in range(4))
+    vmask = valid.astype(jnp.int32).reshape(1, Fp)
+
+    grid = (Pp // PBLOCK, Fp // FBLOCK)
+    out = pl.pallas_call(
+        _zbuffer_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, FBLOCK), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, FBLOCK), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, FBLOCK), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, FBLOCK), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, FBLOCK), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((PBLOCK, 3), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (PBLOCK, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Pp, 1), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(c0, c1, c2, cz, vmask, pix)
+
+    key = out[:P, 0]
+    best_face = jnp.where(key >= 0, key % (2**FID_BITS), -1)
+    return best_face

@@ -139,7 +139,7 @@ def _pixel_matrix(H: int, W: int) -> jnp.ndarray:
     )  # (P, 3)
 
 
-@functools.partial(jax.jit, static_argnames=("H", "W", "chunk"))
+@functools.partial(jax.jit, static_argnames=("H", "W", "chunk", "use_kernel"))
 def rasterize(
     proj_sx, proj_sy, proj_inv_z, proj_front,
     faces: jnp.ndarray,  # (F, 3) padded to multiple of chunk
@@ -147,9 +147,17 @@ def rasterize(
     H: int,
     W: int,
     chunk: int = 2048,
+    use_kernel: bool | None = None,
 ):
     """Hard z-buffer pass. Returns (face_id (P,) int32 [-1 = background],
-    bary (P, 3), inv_z (P,))."""
+    bary (P, 3), inv_z (P,)).
+
+    On TPU the winner selection runs through the fused Pallas z-buffer
+    kernel (ops/raster_zbuffer.py) — the (P, F) edge/depth tile never leaves
+    VMEM; elsewhere (CPU tests, interpret) the chunked-scan XLA path below
+    is used. Both produce the same winners up to inverse-depth quantization
+    ties; barycentrics/depth of the winner are recomputed exactly either way.
+    """
     proj = Projected(proj_sx, proj_sy, proj_inv_z, proj_front)
     coef, cvalid, _ = _face_coefficients(proj, faces)
     valid = valid_faces & cvalid
@@ -158,6 +166,18 @@ def rasterize(
 
     pix = _pixel_matrix(H, W)  # (P, 3)
     P = pix.shape[0]
+
+    if use_kernel is None:
+        from ..ops import raster_zbuffer
+
+        use_kernel = (
+            jax.default_backend() == "tpu" and F <= 2**raster_zbuffer.FID_BITS
+        )
+    if use_kernel:
+        from ..ops import raster_zbuffer
+
+        best_face = raster_zbuffer.zbuffer_select(pix, coef, valid)
+        return _winner_outputs(pix, coef, best_face)
 
     coef_chunks = coef.reshape(n_chunks, chunk, 3, 4)
     valid_chunks = valid.reshape(n_chunks, chunk)
@@ -201,23 +221,19 @@ def rasterize(
     best_face = jnp.where(
         best_packed >= 0, best_chunk * chunk + (best_packed & 0x7FF), -1
     )
-    best_iz = jnp.where(
-        best_packed >= 0,
-        (best_packed >> 11).astype(jnp.float32) / 65536.0,
-        -jnp.inf,
-    )
+    return _winner_outputs(pix, coef, best_face)
 
+
+def _winner_outputs(pix, coef, best_face):
+    """Recompute barycentrics AND exact inverse depth for the winning face
+    only (cheap gather + dot); the selection keys quantized iz."""
     hit = best_face >= 0
     face_id = jnp.where(hit, best_face, 0)
-
-    # recompute barycentrics AND exact inverse depth for the winning face only
-    # (cheap gather + dot); the scan's packed key quantized iz for selection
     win_coef = coef[face_id]  # (P, 3, 4)
     bary = jnp.einsum("pc,pcb->pb", pix, win_coef[..., :3])
     bary = jnp.clip(bary, 0.0, 1.0)
     bary = bary / jnp.maximum(bary.sum(-1, keepdims=True), 1e-12)
     exact_iz = jnp.einsum("pc,pc->p", pix, win_coef[..., 3])
-
     return jnp.where(hit, best_face, -1), bary, jnp.where(hit, exact_iz, 0.0)
 
 

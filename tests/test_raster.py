@@ -308,3 +308,58 @@ def test_uv_textured_render():
     assert abs(right - left) > 0.7
     interior = rgb[mask]
     assert interior.min() >= 0 and interior.max() <= 1
+
+
+def test_zbuffer_kernel_matches_scan_path():
+    """The fused Pallas z-buffer kernel (ops/raster_zbuffer.py, interpret
+    mode here) must agree with the chunked-scan XLA path: identical coverage
+    mask, and any winner disagreements only among (quantization-)tied or
+    bf16-borderline faces — the recomputed exact inverse depths of the two
+    winners must be close."""
+    import math
+
+    from avatarclip_tpu.ops import raster_zbuffer
+
+    n = 16
+    verts, faces = [], []
+    for i in range(n + 1):
+        for j in range(n):
+            th, ph = math.pi * i / n, 2 * math.pi * j / n
+            verts.append([
+                0.5 * math.sin(th) * math.cos(ph),
+                0.5 * math.cos(th),
+                0.5 * math.sin(th) * math.sin(ph),
+            ])
+    for i in range(n):
+        for j in range(n):
+            a, b = i * n + j, i * n + (j + 1) % n
+            c, d = (i + 1) * n + j, (i + 1) * n + (j + 1) % n
+            faces += [[a, b, c], [b, d, c]]
+    verts = jnp.asarray(np.array(verts, np.float32))
+    fj = jnp.asarray(np.array(faces, np.int32))
+    pose = cameras.lookat(
+        jnp.array([0.2, 0.1, 1.4]), jnp.zeros(3), jnp.array([0.0, 1.0, 0.0])
+    )
+    H = W = 48
+    proj = raster.project_vertices(verts, pose, H, W, 48.0)
+    valid = jnp.ones((fj.shape[0],), bool)
+    coef, cvalid, _ = raster._face_coefficients(proj, fj)
+    pix = raster._pixel_matrix(H, W)
+
+    bf_k = raster_zbuffer.zbuffer_select(pix, coef, valid & cvalid, interpret=True)
+    fid_x, _, _ = raster.rasterize(
+        proj.sx, proj.sy, proj.inv_z, proj.in_front, fj, valid, H, W,
+        chunk=128, use_kernel=False,
+    )
+    fk, fx = np.asarray(bf_k), np.asarray(fid_x)
+    hit_k, hit_x = fk >= 0, fx >= 0
+    np.testing.assert_array_equal(hit_k, hit_x)  # identical coverage
+    both = hit_k & hit_x
+    agree = (fk == fx)[both].mean()
+    assert agree > 0.97, f"winner agreement {agree}"
+    iz = lambda f: np.asarray(
+        jnp.einsum("pc,pc->p", pix, coef[jnp.asarray(np.clip(f, 0, None))][..., 3])
+    )
+    gap = np.abs(iz(fk) - iz(fx))[(fk != fx) & both]
+    if gap.size:
+        assert np.median(gap) < 1e-2, f"median winner depth gap {np.median(gap)}"
