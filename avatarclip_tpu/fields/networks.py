@@ -80,7 +80,10 @@ class SDFConfig:
     weight_norm: bool = True
     inside_outside: bool = False
     dtype: str = "float32"  # matmul operand dtype ("bfloat16" on TPU)
-    use_pallas: bool = False  # fused Pallas kernel for sdf+gradient (TPU)
+    # fused Pallas fwd+bwd kernels for sdf+gradient (ops/fused_sdf.py):
+    # 2.5x the XLA sweeps on TPU v5e (docs/PROFILE.md); auto-falls back to
+    # the XLA path off-TPU or for unsupported shapes
+    use_pallas: bool = True
 
     @property
     def dims(self) -> list[int]:
@@ -188,7 +191,17 @@ def sdf_with_gradient(params: Params, cfg: SDFConfig, pts: jnp.ndarray):
     if cfg.use_pallas:
         from ..ops import fused_sdf
 
-        return fused_sdf.sdf_with_gradient_fused(params, cfg, pts)
+        # native TPU only: off-TPU the kernel would run in (slow) interpret
+        # mode, and the XLA path is the tested oracle there anyway. Width
+        # gate: at 128-wide the fixed 256-point blocks underutilize the MXU
+        # and the kernel measured 28% SLOWER than the XLA sweep (21.7 vs
+        # 17.0 ms/step photometric, docs/PROFILE.md); at 256-wide it wins.
+        if (
+            jax.default_backend() == "tpu"
+            and cfg.d_hidden >= 256
+            and fused_sdf.spec_from_config(cfg) is not None
+        ):
+            return fused_sdf.sdf_with_gradient_fused(params, cfg, pts)
     return _sdf_with_gradient_xla(params, cfg, pts)
 
 

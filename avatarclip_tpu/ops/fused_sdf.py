@@ -354,6 +354,220 @@ def _run_fwd(spec: FusedSDFSpec, weights: dict, pts: jnp.ndarray):
 
 
 # ---------------------------------------------------------------------------
+# backward kernel: VJP of (sdf, feat, grad) wrt (dense weights, pts)
+# ---------------------------------------------------------------------------
+#
+# The key identity: the cotangent on the spatial gradient folds in as a
+# forward-mode direction. With v = cot_grad per point,
+#     sum_d v_d * (d s / d x_d) = JVP of s at x in direction v,
+# so  L = cs*s + cf.feat + v.grad  is computed by ONE (primal, tangent)
+# forward pass, and its gradients wrt weights/x by ONE reverse pass over
+# that augmented forward — all in VMEM per block. The second-order terms
+# (softplus'' = 100 p (1-p) on the tangent path) appear explicitly below.
+# Weight gradients accumulate into revisited output blocks across the
+# sequential grid.
+
+
+def _bwd_kernel(spec: FusedSDFSpec, n_hidden: int, *refs):
+    (x_ref, csg_ref, cf_ref, comp_ref, oneh_ref, freq_ref, sinsel_ref,
+     cossel_ref) = refs[:8]
+    named = {}
+    wi = 8
+    for i in range(n_hidden):
+        named[f"w{i}"] = refs[wi]; wi += 1
+        named[f"b{i}"] = refs[wi]; wi += 1
+    for nm in ("wskip", "bskip", "wf_a", "wf_e", "wsa_row", "wse_row"):
+        named[nm] = refs[wi]; wi += 1
+    outs = refs[wi:]
+    (dx_ref, *grefs) = outs
+    gnamed = {}
+    gi = 0
+    for i in range(n_hidden):
+        gnamed[f"dw{i}"] = grefs[gi]; gi += 1
+        gnamed[f"db{i}"] = grefs[gi]; gi += 1
+    for nm in ("dwskip", "dbskip", "dwf_a", "dwf_e", "dbfin", "dwsa_row",
+               "dwse_row", "dbs"):
+        gnamed[nm] = grefs[gi]; gi += 1
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for r in grefs:
+            r[...] = jnp.zeros(r.shape, r.dtype)
+
+    dotT = _dotT
+
+    def dotB(a, b):
+        """a^T @ b contracting the batch (first) dim: (B,I)x(B,O) -> (I,O)."""
+        dt = _OPERAND_DTYPE
+        return jax.lax.dot_general(
+            a.astype(dt), b.astype(dt),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    x = x_ref[...] * spec.scale  # (B, 3) net units
+    csg = csg_ref[...]
+    cs = csg[:, 0:1] / spec.scale  # cotangent on sdf, scaled to s_out units
+    v = csg[:, 1:4]  # cotangent on grad == tangent direction
+    cf = cf_ref[...]  # (B, feat_pad), padding cols zero
+
+    comp = comp_ref[...]
+    oneh = oneh_ref[...]
+    freq = freq_ref[...]
+    sinsel = sinsel_ref[...]
+    cossel = cossel_ref[...]
+
+    xe = _dot_f32(x, comp)
+    tr = freq * xe
+    s_tr = jnp.sin(tr)
+    c_tr = jnp.cos(tr)
+    e = oneh * xe + sinsel * s_tr + cossel * c_tr
+    de = oneh + freq * (sinsel * c_tr - cossel * s_tr)
+    dde = -freq * freq * (sinsel * s_tr + cossel * c_tr)
+
+    # primal + tangent forward, keeping per-layer states
+    xed = _dot_f32(v, comp)  # xe tangent
+    ed = de * xed  # e tangent
+    a_list, p_list, t_list, zd_list = [e], [], [ed], []
+    h, t = e, ed
+    for i in range(n_hidden):
+        z = _dot(h, named[f"w{i}"][...]) + named[f"b{i}"][...]
+        p = jax.nn.sigmoid(100.0 * z)
+        zd = _dot(t, named[f"w{i}"][...])
+        h = _sp(z)
+        t = p * zd
+        a_list.append(h)
+        p_list.append(p)
+        t_list.append(t)
+        zd_list.append(zd)
+    z_s = _dot(h, named["wskip"][...]) + named["bskip"][...]
+    sig_s = jax.nn.sigmoid(100.0 * z_s)
+    S = spec.skip_width
+    col = jax.lax.broadcasted_iota(jnp.int32, z_s.shape, 1)
+    smask = (col < S).astype(jnp.float32)
+    a_s = _sp(z_s) * smask
+    psm = sig_s * smask
+    zd_s = _dot(t, named["wskip"][...])
+    a_s_dot = psm * zd_s
+
+    # ---- head gradients + reverse seeds --------------------------------
+    wsa = named["wsa_row"][...]  # (1, H)
+    wse = named["wse_row"][...]  # (1, E)
+    gnamed["dwf_a"][...] += dotB(a_s, cf)
+    gnamed["dwf_e"][...] += dotB(e, cf)
+    gnamed["dbfin"][...] += jnp.sum(cf, axis=0, keepdims=True)
+    gnamed["dwsa_row"][...] += jnp.sum(cs * a_s + a_s_dot, axis=0, keepdims=True)
+    gnamed["dwse_row"][...] += jnp.sum(cs * e + ed, axis=0, keepdims=True)
+    lane0 = (
+        jax.lax.broadcasted_iota(jnp.int32, gnamed["dbs"].shape, 1) == 0
+    ).astype(jnp.float32)
+    gnamed["dbs"][...] += lane0 * jnp.sum(cs)
+
+    ca = cs * wsa + dotT(cf, named["wf_a"][...])  # cot on a_s (B, H)
+    ce_head = cs * wse + dotT(cf, named["wf_e"][...])  # cot on e (B, E)
+    cad = jnp.broadcast_to(wsa, ca.shape)  # cot on a_s_dot
+    ced_head = wse  # cot on ed (broadcast later)
+
+    # ---- skip layer reverse ---------------------------------------------
+    cz = ca * psm + cad * zd_s * (100.0 * sig_s * (1.0 - sig_s) * smask)
+    czd = cad * psm
+    gnamed["dwskip"][...] += dotB(a_list[n_hidden], cz) + dotB(
+        t_list[n_hidden], czd
+    )
+    gnamed["dbskip"][...] += jnp.sum(cz, axis=0, keepdims=True)
+    ca = dotT(cz, named["wskip"][...])
+    cat = dotT(czd, named["wskip"][...])
+
+    # ---- hidden stack reverse -------------------------------------------
+    for i in reversed(range(n_hidden)):
+        p = p_list[i]
+        cz = ca * p + cat * zd_list[i] * (100.0 * p * (1.0 - p))
+        czd = cat * p
+        gnamed[f"dw{i}"][...] += dotB(a_list[i], cz) + dotB(t_list[i], czd)
+        gnamed[f"db{i}"][...] += jnp.sum(cz, axis=0, keepdims=True)
+        ca = dotT(cz, named[f"w{i}"][...])
+        cat = dotT(czd, named[f"w{i}"][...])
+
+    # ---- positional encoding reverse -------------------------------------
+    ce = ca + ce_head
+    ced = cat + ced_head
+    cxe = ce * de + ced * xed * dde
+    cx3 = jax.lax.dot_general(
+        cxe, comp,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dx_ref[...] = cx3 * spec.scale
+
+
+def _run_bwd(spec: FusedSDFSpec, weights: dict, pts, cs, cg, cf):
+    P = pts.shape[0]
+    n_hidden = spec.n_hidden
+    consts = [jnp.asarray(c) for c in _pe_constants(spec)]
+    n_blocks = P // BLOCK
+    E, H, Fp = spec.e_pad, spec.d_hidden, spec.feat_pad
+
+    csg = jnp.concatenate(
+        [cs, cg, jnp.zeros((P, 4), jnp.float32)], axis=1
+    ).astype(jnp.float32)  # (P, 8)
+    cfp = jnp.zeros((P, Fp), jnp.float32).at[:, : spec.feat_dim].set(cf)
+
+    w_args = []
+    for i in range(n_hidden):
+        w_args += [weights[f"w{i}"], weights[f"b{i}"]]
+    for nm in ("wskip", "bskip", "wf_a", "wf_e", "wsa_row", "wse_row"):
+        w_args.append(weights[nm])
+
+    def full(a):
+        return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                            memory_space=pltpu.VMEM)
+
+    def blk(cols):
+        return pl.BlockSpec((BLOCK, cols), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = (
+        [blk(3), blk(8), blk(Fp)]
+        + [full(c) for c in consts]
+        + [full(w) for w in w_args]
+    )
+
+    grad_shapes = []
+    for i in range(n_hidden):
+        din = E if i == 0 else H
+        grad_shapes += [((din, H), f"dw{i}"), ((1, H), f"db{i}")]
+    grad_shapes += [
+        ((H, H), "dwskip"), ((1, H), "dbskip"),
+        ((H, Fp), "dwf_a"), ((E, Fp), "dwf_e"), ((1, Fp), "dbfin"),
+        ((1, H), "dwsa_row"), ((1, E), "dwse_row"), ((1, LANE), "dbs"),
+    ]
+    out_specs = [blk(3)] + [
+        pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for shape, _ in grad_shapes
+    ]
+    out_shape = [jax.ShapeDtypeStruct((P, 3), jnp.float32)] + [
+        jax.ShapeDtypeStruct(shape, jnp.float32) for shape, _ in grad_shapes
+    ]
+
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, spec, n_hidden),
+        grid=(n_blocks,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(pts, csg, cfp, *consts, *w_args)
+
+    dx = outs[0]
+    d_weights = {name: g for g, (_, name) in zip(outs[1:], grad_shapes)}
+    return dx, d_weights
+
+
+# ---------------------------------------------------------------------------
 # public API with custom VJP
 # ---------------------------------------------------------------------------
 
@@ -366,32 +580,38 @@ def _pure_reference(params, cfg, pts):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _fused(params, pts, static):
-    cfg, spec = static
-    weights = dense_weights(params, spec)
+def _fused_core(weights, pts, spec):
+    """(dense weights dict, block-aligned pts) -> (sdf, feat, grad).
+
+    The custom_vjp boundary sits at the DENSE weight level: resolving
+    weight-norm / padding (dense_weights) is plain differentiable XLA, so
+    parameter cotangents flow back through it automatically from the dense
+    gradients the backward kernel emits."""
     sg, feat = _run_fwd(spec, weights, pts)
-    sdf = sg[:, 0:1]
-    grad = sg[:, 1:4]
-    return sdf, feat[:, : spec.feat_dim], grad
+    return sg[:, 0:1], feat[:, : spec.feat_dim], sg[:, 1:4]
 
 
-def _fused_fwd(params, pts, static):
-    out = _fused(params, pts, static)
-    return out, (params, pts)
+def _fused_core_fwd(weights, pts, spec):
+    out = _fused_core(weights, pts, spec)
+    return out, (weights, pts)
 
 
-def _fused_bwd(static, res, cot):
-    cfg, spec = static
-    params, pts = res
-    # Reverse-mode over the pure implementation. The heavy lifting (the
-    # primal forward+gradient) runs through the fused kernel on the forward
-    # pass; this backward re-derives cotangents with XLA. A fully fused
-    # backward kernel is the next optimization step.
-    _, vjp = jax.vjp(lambda p, x: _pure_reference(p, cfg, x), params, pts)
-    return vjp(cot)
+def _fused_core_bwd(spec, res, cot):
+    weights, pts = res
+    cs, cf, cg = cot
+    dx, g = _run_bwd(spec, weights, pts, cs, cg, cf)
+    # kernel grads are keyed "d<name>"; the duplicated head forms
+    # (ws_a/ws_e hold the same logical rows as wsa_row/wse_row) receive
+    # zero — the full head gradient rides the row forms and dense_weights'
+    # VJP sums the contributions of every copy
+    d = {k: g[f"d{k}"] for k in weights if f"d{k}" in g}
+    d["ws_a"] = jnp.zeros_like(weights["ws_a"])
+    d["ws_e"] = jnp.zeros_like(weights["ws_e"])
+    assert set(d) == set(weights)
+    return d, dx
 
 
-_fused.defvjp(_fused_fwd, _fused_bwd)
+_fused_core.defvjp(_fused_core_fwd, _fused_core_bwd)
 
 
 def sdf_with_gradient_fused(params, cfg, pts):
@@ -399,16 +619,18 @@ def sdf_with_gradient_fused(params, cfg, pts):
 
     Returns (sdf (P,1), feat (P,F), grad (P,3)); falls back to the pure path
     when the architecture is outside the supported family or the batch is not
-    block-aligned.
+    block-aligned. Both the forward (sdf + spatial gradient) and the VJP run
+    as Pallas kernels; only weight-norm resolution/padding stays in XLA.
     """
     spec = spec_from_config(cfg)
     P = pts.shape[0]
     if spec is None:
         return _pure_reference(params, cfg, pts)
+    weights = dense_weights(params, spec)
     pad = (-P) % BLOCK
     if pad:
         pts = jnp.concatenate([pts, jnp.zeros((pad, 3), pts.dtype)], 0)
-    sdf, feat, grad = _fused(params, pts, (cfg, spec))
+    sdf, feat, grad = _fused_core(weights, pts, spec)
     if pad:
         sdf, feat, grad = sdf[:P], feat[:P], grad[:P]
     return sdf, feat, grad

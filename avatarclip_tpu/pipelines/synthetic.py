@@ -47,7 +47,10 @@ def make_conf_text(
     prompt: str = "a 3D rendering of a test person in unreal engine",
 ) -> str:
     if scale == "full":
-        sdf = dict(d_out=257, d_hidden=256, n_layers=4, skip=4, multires=6)
+        # use_pallas: the fused forward+backward SDF kernels (ops/fused_sdf)
+        # measured 2.5x faster than the XLA sweeps on TPU v5e (docs/PROFILE.md)
+        sdf = dict(d_out=257, d_hidden=256, n_layers=4, skip=4, multires=6,
+                   use_pallas=True)
         color = dict(d_feature=256, d_hidden=256, n_layers=2)
         samples = dict(n_samples=32, n_importance=32, steps=4)
         max_ray = 112 * 112
@@ -117,6 +120,7 @@ model {{
         n_layers = {sdf['n_layers']}
         skip_in = [{sdf['skip']}]
         multires = {sdf['multires']}
+        use_pallas = {sdf.get('use_pallas', False)}
         bias = 0.5
         scale = 1.0
         geometric_init = True

@@ -61,6 +61,9 @@ def main():
             key, k = jax.random.split(key)
             params, opt_state, metrics = step(params, opt_state, k, it + 3)
         jax.block_until_ready(params)
+        # hard sync: on this remote platform block_until_ready has been seen
+        # returning before the queue drains; fetching a value cannot
+        float(metrics["loss"])
         dt = time.perf_counter() - t0
 
     rays_per_sec = R * iters / dt
