@@ -235,6 +235,11 @@ class ColorConfig:
     squeeze_out: bool = True
     extra_color: bool = False
     dtype: str = "float32"
+    # fused Pallas fwd+bwd kernel (ops/fused_color.py): keeps the whole
+    # rendering MLP in VMEM per block instead of streaming [P, 256]-wide
+    # activations/residuals through HBM; auto-falls back off-TPU or for
+    # unsupported shapes (docs/PROFILE.md)
+    use_pallas: bool = True
 
     @property
     def dims(self) -> list[int]:
@@ -301,6 +306,33 @@ def color_apply(
     if cfg.squeeze_out:
         x = jax.nn.sigmoid(x)
     return x
+
+
+def color_eval(
+    params: Params,
+    cfg: ColorConfig,
+    points: jnp.ndarray,
+    normals: jnp.ndarray,
+    view_dirs: jnp.ndarray,
+    features: jnp.ndarray,
+) -> jnp.ndarray:
+    """color_apply with the fused-kernel gate (the renderer's entry point).
+
+    Same auto-gate as sdf_with_gradient: native TPU and d_hidden >= 256
+    (at smaller widths the fixed 256-point blocks underutilize the MXU and
+    the XLA path wins — docs/PROFILE.md)."""
+    if cfg.use_pallas:
+        from ..ops import fused_color
+
+        if (
+            jax.default_backend() == "tpu"
+            and cfg.d_hidden >= 256
+            and fused_color.spec_from_config(cfg) is not None
+        ):
+            return fused_color.color_apply_fused(
+                params, cfg, points, normals, view_dirs, features
+            )
+    return color_apply(params, cfg, points, normals, view_dirs, features)
 
 
 # ---------------------------------------------------------------------------

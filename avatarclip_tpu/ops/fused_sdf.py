@@ -567,6 +567,37 @@ def _run_bwd(spec: FusedSDFSpec, weights: dict, pts, cs, cg, cf):
     return dx, d_weights
 
 
+def kernel_flops_per_point(spec: FusedSDFSpec) -> tuple[float, float]:
+    """(forward, backward) matmul FLOPs per point, counting PADDED shapes —
+    the MXU work actually issued. Used by bench.py's MFU estimate, since
+    Pallas kernels are invisible to XLA's cost_analysis ledger. Each
+    (B, m) x (m, n) dot in the kernels costs 2*m*n per point."""
+    E, H, Fp = spec.e_pad, spec.d_hidden, spec.feat_pad
+    nh = spec.n_hidden
+    # forward kernel (_fwd_kernel): PE comp dot, hidden stack, skip layer,
+    # four head dots, then the reverse sweep for the spatial gradient
+    fwd = 2.0 * (
+        3 * E  # xe
+        + E * H + (nh - 1) * H * H  # hidden stack
+        + H * H  # skip layer
+        + H * Fp + E * Fp + H * LANE + E * LANE  # heads
+        + H * H + (nh - 1) * H * H + H * E  # reverse sweep
+        + E * 3  # g composition
+    )
+    # backward kernel (_bwd_kernel): primal+tangent forward (2 streams),
+    # head grads/cots, skip reverse, hidden reverse, PE reverse
+    bwd = 2.0 * (
+        2 * 3 * E  # xe, xed
+        + 2 * (E * H + (nh - 1) * H * H + H * H)  # primal+tangent stacks
+        + H * Fp + E * Fp  # dwf_a, dwf_e (dotB)
+        + Fp * H + Fp * E  # ca, ce_head (dotT)
+        + 4 * H * H  # skip reverse: dwskip x2, ca, cat
+        + (nh - 1) * 4 * H * H + 2 * E * H + 2 * H * E  # hidden reverse
+        + E * 3  # cx3
+    )
+    return fwd, bwd
+
+
 # ---------------------------------------------------------------------------
 # public API with custom VJP
 # ---------------------------------------------------------------------------

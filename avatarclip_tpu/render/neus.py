@@ -293,7 +293,7 @@ def render_core(
 
     sdf, feature, gradients = nets.sdf_with_gradient(params["sdf"], cfgs.sdf, pts)
 
-    raw_color = nets.color_apply(
+    raw_color = nets.color_eval(
         params["color"], cfgs.color, pts, gradients, dirs, feature
     )
     if cfg.extra_color:

@@ -82,6 +82,23 @@ def main():
             if isinstance(an, list):
                 an = an[0]
             flops = float(an["flops"])
+            # Pallas kernels are invisible to XLA's FLOP ledger — add their
+            # analytic matmul counts when the auto-gates engage
+            if jax.default_backend() == "tpu":
+                from avatarclip_tpu.ops import fused_color, fused_sdf
+
+                cfgs = runner.cfgs
+                P = R * (runner.ncfg.n_samples + runner.ncfg.n_importance)
+                if cfgs.sdf.use_pallas and cfgs.sdf.d_hidden >= 256:
+                    spec = fused_sdf.spec_from_config(cfgs.sdf)
+                    if spec is not None:
+                        flops += P * sum(fused_sdf.kernel_flops_per_point(spec))
+                if cfgs.color.use_pallas and cfgs.color.d_hidden >= 256:
+                    spec = fused_color.spec_from_config(cfgs.color)
+                    if spec is not None:
+                        flops += P * sum(
+                            fused_color.kernel_flops_per_point(spec)
+                        )
         tflops_sustained = flops * iters / dt / 1e12
         mfu_pct = round(100.0 * tflops_sustained / 197.0, 2)
     except Exception as e:
