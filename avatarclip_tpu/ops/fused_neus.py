@@ -1,0 +1,649 @@
+"""Pallas TPU megakernel: the whole NeuS per-point pipeline in VMEM.
+
+After the separate fused SDF (ops/fused_sdf.py) and color
+(ops/fused_color.py) kernels, the round-2b trace still showed ~25 ms/step
+of [802816, N] XLA elementwise streams: the kernel-boundary glue (the
+256-wide geometry feature and its cotangent round-tripping HBM between the
+two kernels) and render_core's per-point alpha/eikonal math
+(reference: AvatarGen/AppearanceGen/models/renderer.py:221-262), each
+stream costing ~1-3 ms of pure HBM bandwidth.
+
+This kernel evaluates, per 256-point block, entirely in VMEM:
+
+    positional encoding -> SDF MLP -> (sdf, geometry feature)
+    -> analytic spatial gradient (reverse sweep)
+    -> rendering MLP -> rgb (+ extra head, sigmoid)
+    -> logistic-CDF alpha (cos-annealed, renderer.py:221-248)
+    -> eikonal partial sums (relax-sphere-masked, renderer.py:277-280)
+
+The geometry feature, every MLP activation, and the alpha intermediates
+never touch HBM. Outputs per point are only the values render_core's
+callers actually consume: [sdf, alpha, cdf, grad(3), inside_sphere] and
+[rgb(3), extra(3)], plus (num, den) eikonal accumulators.
+
+Backward (custom_vjp, one kernel): recomputes the forward per block,
+reverses the color MLP by hand (same math as fused_color), differentiates
+the alpha/eikonal chains with jax.vjp INSIDE the kernel (they are cheap
+elementwise chains; in-kernel AD keeps them in VMEM and avoids hand-derived
+second-order mistakes), then folds the total sdf/gradient/feature
+cotangents through the forward-over-reverse SDF machinery of
+fused_sdf._bwd_kernel (the gradient cotangent becomes a forward-mode
+tangent direction; softplus'' terms explicit). Weight gradients and the
+inv_s gradient accumulate into revisited output blocks across the
+sequential grid.
+
+custom_vjp boundary: dense weights (weight-norm resolution stays in
+differentiable XLA), raw points, ray dirs, dists, and the [inv_s,
+cos_anneal] scalar pack.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import fused_color, fused_sdf
+from .fused_sdf import (
+    BLOCK,
+    LANE,
+    _dot_f32,
+    _pe_constants,
+    _sp,
+)
+
+
+def _dot(a, b):
+    dt = fused_sdf._OPERAND_DTYPE
+    return jnp.dot(a.astype(dt), b.astype(dt), preferred_element_type=jnp.float32)
+
+
+def _dotT(a, b):
+    dt = fused_sdf._OPERAND_DTYPE
+    return jax.lax.dot_general(
+        a.astype(dt), b.astype(dt),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _dotB(a, b):
+    dt = fused_sdf._OPERAND_DTYPE
+    return jax.lax.dot_general(
+        a.astype(dt), b.astype(dt),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedNeuSSpec:
+    sdf: fused_sdf.FusedSDFSpec
+    color: fused_color.FusedColorSpec
+    n_valid: int  # true point count before block padding
+
+
+def spec_from_configs(sdf_cfg, color_cfg, n_valid: int) -> FusedNeuSSpec | None:
+    s = fused_sdf.spec_from_config(sdf_cfg)
+    c = fused_color.spec_from_config(color_cfg)
+    if s is None or c is None:
+        return None
+    if c.d_feature != s.feat_dim:
+        return None
+    return FusedNeuSSpec(sdf=s, color=c, n_valid=n_valid)
+
+
+# ---------------------------------------------------------------------------
+# argument plumbing: sdf weights, then color weights, in fixed order
+# ---------------------------------------------------------------------------
+
+
+def _sdf_w_names(spec: fused_sdf.FusedSDFSpec, bwd: bool = False):
+    # the sdf head rides its row forms (wsa_row/wse_row) only — the padded
+    # column forms (ws_a/ws_e) of fused_sdf are not needed here
+    names = []
+    for i in range(spec.n_hidden):
+        names += [f"w{i}", f"b{i}"]
+    names += ["wskip", "bskip", "wf_a", "wf_e", "wsa_row", "wse_row",
+              "bfin", "bs"]
+    return names
+
+
+def _alpha_chain(s, g, dirs, dist, inv_s, r):
+    """renderer.py:221-248: logistic-CDF alpha with cos annealing.
+
+    All args per-point (B, .); returns (alpha, prev_cdf)."""
+    true_cos = jnp.sum(dirs * g, axis=-1, keepdims=True)
+    iter_cos = -(
+        jax.nn.relu(-true_cos * 0.5 + 0.5) * (1.0 - r)
+        + jax.nn.relu(-true_cos) * r
+    )
+    est_next = s + iter_cos * dist * 0.5
+    est_prev = s - iter_cos * dist * 0.5
+    prev_cdf = jax.nn.sigmoid(est_prev * inv_s)
+    next_cdf = jax.nn.sigmoid(est_next * inv_s)
+    alpha = jnp.clip((prev_cdf - next_cdf + 1e-5) / (prev_cdf + 1e-5), 0.0, 1.0)
+    return alpha, prev_cdf
+
+
+def _eik_terms(g, relax):
+    """renderer.py:277-280 partial sums: (num, den) of the eikonal error,
+    shaped (1, 1) — TPU kernels want 2-D values, not rank-0 scalars."""
+    ge = (jnp.sqrt(jnp.sum(g * g, axis=-1, keepdims=True) + 1e-12) - 1.0) ** 2
+    return (
+        jnp.sum(relax * ge).reshape(1, 1),
+        jnp.sum(relax).reshape(1, 1),
+    )
+
+
+def _sdf_forward_states(spec, named, x_raw, consts):
+    """SDF primal forward + analytic spatial gradient (fused_sdf._fwd_kernel
+    math, states kept for reuse). Returns a dict of everything downstream
+    passes need."""
+    comp, oneh, freq, sinsel, cossel = consts
+    x = x_raw * spec.scale
+    xe = _dot_f32(x, comp)
+    tr = freq * xe
+    s_tr = jnp.sin(tr)
+    c_tr = jnp.cos(tr)
+    e = oneh * xe + sinsel * s_tr + cossel * c_tr
+    de = oneh + freq * (sinsel * c_tr - cossel * s_tr)
+    dde = -freq * freq * (sinsel * s_tr + cossel * c_tr)
+
+    a_list, p_list = [e], []
+    h = e
+    for i in range(spec.n_hidden):
+        z = _dot(h, named[f"w{i}"][...]) + named[f"b{i}"][...]
+        p = jax.nn.sigmoid(100.0 * z)
+        h = _sp(z)
+        a_list.append(h)
+        p_list.append(p)
+    z_s = _dot(h, named["wskip"][...]) + named["bskip"][...]
+    sig_s = jax.nn.sigmoid(100.0 * z_s)
+    S = spec.skip_width
+    col = jax.lax.broadcasted_iota(jnp.int32, z_s.shape, 1)
+    smask = (col < S).astype(jnp.float32)
+    a_s = _sp(z_s) * smask
+    p_s = sig_s * smask
+
+    feat = (
+        _dot(a_s, named["wf_a"][...])
+        + _dot(e, named["wf_e"][...])
+        + named["bfin"][...]
+    )
+    # sdf via the row-form head (col extraction from a lane vector is slow)
+    s_net = (
+        jnp.sum(a_s * named["wsa_row"][...], axis=1, keepdims=True)
+        + jnp.sum(e * named["wse_row"][...], axis=1, keepdims=True)
+        + named["bs"][...][:, 0:1]
+    )
+    # spatial gradient: reverse sweep (output units, see fused_sdf)
+    t_s = named["wsa_row"][...] * p_s
+    q = _dotT(t_s, named["wskip"][...])
+    q_e = None
+    for i in reversed(range(spec.n_hidden)):
+        t_i = q * p_list[i]
+        if i == 0:
+            q_e = _dotT(t_i, named["w0"][...])
+        else:
+            q = _dotT(t_i, named[f"w{i}"][...])
+    q_e = q_e + named["wse_row"][...]
+    g = jax.lax.dot_general(
+        q_e * de, comp,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return {
+        "e": e, "de": de, "dde": dde, "a_list": a_list, "p_list": p_list,
+        "z_s": z_s, "sig_s": sig_s, "smask": smask, "a_s": a_s, "p_s": p_s,
+        "feat": feat, "sdf": s_net / spec.scale, "g": g,
+    }
+
+
+def _color_forward_states(spec, named, x_raw, g, dirs, feat):
+    """Rendering-MLP primal forward (fused_color math; normals = g)."""
+    z = (
+        _dot(x_raw, named["c_wx"][...])
+        + _dot(g, named["c_wn"][...])
+        + _dot(dirs, named["c_wv"][...])
+        + _dot(feat, named["c_wf"][...])
+        + named["c_b0"][...]
+    )
+    acts = [jnp.maximum(z, 0.0)]
+    for i in range(1, spec.n_hidden):
+        z = _dot(acts[-1], named[f"c_w{i}"][...]) + named[f"c_b{i}"][...]
+        acts.append(jnp.maximum(z, 0.0))
+    head = _dot(acts[-1], named["c_whead"][...]) + named["c_bhead"][...]
+    if spec.squeeze_out:
+        head = jax.nn.sigmoid(head)
+    return acts, head
+
+
+def _valid_mask(n_valid: int, B: int):
+    idx = pl.program_id(0) * B + jax.lax.broadcasted_iota(
+        jnp.int32, (B, 1), 0
+    )
+    return (idx < n_valid).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(spec: FusedNeuSSpec, *refs):
+    ss, cs = spec.sdf, spec.color
+    x_ref, d_ref, t_ref, sc_ref = refs[:4]
+    consts = [r[...] for r in refs[4:9]]
+    s_names = _sdf_w_names(ss, bwd=False)
+    c_names = [f"c_{nm}" for nm in fused_color._name_list(cs)]
+    named = dict(zip(s_names + c_names, refs[9 : 9 + len(s_names) + len(c_names)]))
+    pack_ref, rgb_ref, eik_ref = refs[9 + len(s_names) + len(c_names):]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        eik_ref[...] = jnp.zeros(eik_ref.shape, eik_ref.dtype)
+
+    x_raw = x_ref[...]
+    dirs = d_ref[...]
+    dist = t_ref[...][:, 0:1]
+    inv_s = sc_ref[...][0:1, 0:1]  # (1,1): broadcasts; rank-0 extraction is
+    r = sc_ref[...][0:1, 1:2]      # a slow/unsupported layout op on TPU
+
+    st = _sdf_forward_states(ss, named, x_raw, consts)
+    _, head = _color_forward_states(cs, named, x_raw, st["g"], dirs, st["feat"])
+    alpha, cdf = _alpha_chain(st["sdf"], st["g"], dirs, dist, inv_s, r)
+
+    pts_norm = jnp.sqrt(jnp.sum(x_raw * x_raw, axis=-1, keepdims=True))
+    valid = _valid_mask(spec.n_valid, x_raw.shape[0])
+    inside = (pts_norm < 1.0).astype(jnp.float32)
+    relax = (pts_norm < 1.2).astype(jnp.float32) * valid
+
+    num, den = _eik_terms(st["g"], relax)
+    lane = jax.lax.broadcasted_iota(jnp.int32, eik_ref.shape, 1)
+    eik_ref[...] += jnp.where(
+        lane == 0, num, jnp.where(lane == 1, den, 0.0)
+    )
+
+    pack_ref[...] = jnp.concatenate(
+        [st["sdf"], alpha, cdf, st["g"], inside,
+         jnp.zeros_like(inside)], axis=1
+    )
+    rgb_ref[...] = head
+
+
+# ---------------------------------------------------------------------------
+# backward kernel
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(spec: FusedNeuSSpec, *refs):
+    ss, cs = spec.sdf, spec.color
+    x_ref, d_ref, t_ref, sc_ref, cpack_ref, crgb_ref, ceik_ref = refs[:7]
+    consts = [r[...] for r in refs[7:12]]
+    comp, oneh, freq, sinsel, cossel = consts
+    s_names = _sdf_w_names(ss, bwd=True)
+    c_names = [f"c_{nm}" for nm in fused_color._name_list(cs)]
+    n_w = len(s_names) + len(c_names)
+    named = dict(zip(s_names + c_names, refs[12 : 12 + n_w]))
+    outs = refs[12 + n_w:]
+    dx_ref, dd_ref, dt_ref, dsc_ref = outs[:4]
+    gnames = (
+        [f"d{nm}" for nm in _sdf_w_names(ss, bwd=True) if not nm.startswith("ws_")]
+        + [f"d{nm}" for nm in c_names]
+    )
+    gnamed = dict(zip(gnames, outs[4:]))
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dsc_ref[...] = jnp.zeros(dsc_ref.shape, dsc_ref.dtype)
+        for rr in outs[4:]:
+            rr[...] = jnp.zeros(rr.shape, rr.dtype)
+
+    x_raw = x_ref[...]
+    dirs = d_ref[...]
+    dist = t_ref[...][:, 0:1]
+    inv_s = sc_ref[...][0:1, 0:1]
+    r = sc_ref[...][0:1, 1:2]
+    B = x_raw.shape[0]
+
+    cpack = cpack_ref[...]
+    c_sdf = cpack[:, 0:1]
+    c_alpha = cpack[:, 1:2]
+    c_cdf = cpack[:, 2:3]
+    cg_ext = cpack[:, 3:6]
+    crgb = crgb_ref[...]  # (B, 8), pad cols zero
+    c_num = ceik_ref[...][0:1, 0:1]  # (1,1)
+
+    # ---- recompute forward states ------------------------------------
+    st = _sdf_forward_states(ss, named, x_raw, consts)
+    feat, g, sdf = st["feat"], st["g"], st["sdf"]
+    acts_c, head_raw = None, None  # filled below
+
+    z0 = (
+        _dot(x_raw, named["c_wx"][...])
+        + _dot(g, named["c_wn"][...])
+        + _dot(dirs, named["c_wv"][...])
+        + _dot(feat, named["c_wf"][...])
+        + named["c_b0"][...]
+    )
+    acts_c = [jnp.maximum(z0, 0.0)]
+    for i in range(1, cs.n_hidden):
+        z = _dot(acts_c[-1], named[f"c_w{i}"][...]) + named[f"c_b{i}"][...]
+        acts_c.append(jnp.maximum(z, 0.0))
+    head_raw = _dot(acts_c[-1], named["c_whead"][...]) + named["c_bhead"][...]
+
+    # ---- color reverse (fused_color._bwd_kernel math) ------------------
+    cot = crgb
+    if cs.squeeze_out:
+        sig = jax.nn.sigmoid(head_raw)
+        cot = cot * sig * (1.0 - sig)
+    gnamed["dc_whead"][...] += _dotB(acts_c[-1], cot)
+    gnamed["dc_bhead"][...] += jnp.sum(cot, axis=0, keepdims=True)
+    ca = _dotT(cot, named["c_whead"][...])
+    for i in reversed(range(1, cs.n_hidden)):
+        cz = ca * (acts_c[i] > 0.0).astype(jnp.float32)
+        gnamed[f"dc_w{i}"][...] += _dotB(acts_c[i - 1], cz)
+        gnamed[f"dc_b{i}"][...] += jnp.sum(cz, axis=0, keepdims=True)
+        ca = _dotT(cz, named[f"c_w{i}"][...])
+    cz0 = ca * (acts_c[0] > 0.0).astype(jnp.float32)
+    gnamed["dc_wx"][...] += _dotB(x_raw, cz0)
+    gnamed["dc_wn"][...] += _dotB(g, cz0)
+    gnamed["dc_wv"][...] += _dotB(dirs, cz0)
+    gnamed["dc_wf"][...] += _dotB(feat, cz0)
+    gnamed["dc_b0"][...] += jnp.sum(cz0, axis=0, keepdims=True)
+    cx_rgb = _dotT(cz0, named["c_wx"][...])
+    cg_rgb = _dotT(cz0, named["c_wn"][...])
+    cd_rgb = _dotT(cz0, named["c_wv"][...])
+    cf = _dotT(cz0, named["c_wf"][...])  # cot on feat (pad cols zero)
+
+    # ---- alpha + eikonal chains: in-kernel jax.vjp ----------------------
+    def chain(s_, g_, d_, t_, iv):
+        return _alpha_chain(s_, g_, d_, t_, iv, r)
+
+    _, vjp_a = jax.vjp(chain, sdf, g, dirs, dist, inv_s)
+    cs_a, cg_a, cd_a, ct_a, civs = vjp_a((c_alpha, c_cdf))
+
+    pts_norm = jnp.sqrt(jnp.sum(x_raw * x_raw, axis=-1, keepdims=True))
+    valid = _valid_mask(spec.n_valid, B)
+    relax = (pts_norm < 1.2).astype(jnp.float32) * valid
+
+    def eik_num(g_):
+        n, _ = _eik_terms(g_, relax)
+        return n  # (1, 1)
+
+    _, vjp_e = jax.vjp(eik_num, g)
+    (cg_eik,) = vjp_e(c_num)
+
+    # ---- totals --------------------------------------------------------
+    cs_tot = (c_sdf + cs_a) / ss.scale  # to s_net units (fused_sdf layout)
+    v = cg_ext + cg_rgb + cg_a + cg_eik  # tangent direction = cot on grad
+    dd_ref[...] = cd_rgb + cd_a
+    dt_ref[...] = jnp.concatenate(
+        [ct_a, jnp.zeros((B, 7), jnp.float32)], axis=1
+    )
+    lane = jax.lax.broadcasted_iota(jnp.int32, dsc_ref.shape, 1)
+    dsc_ref[...] += jnp.where(lane == 0, civs, 0.0)  # civs (1,1) broadcasts
+
+    # ---- SDF reverse: forward-over-reverse (fused_sdf._bwd_kernel) ------
+    x = x_raw * ss.scale
+    e, de, dde = st["e"], st["de"], st["dde"]
+    a_list, p_list = st["a_list"], st["p_list"]
+    n_hidden = ss.n_hidden
+
+    xed = _dot_f32(v, comp)
+    ed = de * xed
+    t_list, zd_list = [ed], []
+    t = ed
+    for i in range(n_hidden):
+        zd = _dot(t, named[f"w{i}"][...])
+        t = p_list[i] * zd
+        t_list.append(t)
+        zd_list.append(zd)
+    zd_s = _dot(t, named["wskip"][...])
+    psm = st["p_s"]
+    a_s = st["a_s"]
+    a_s_dot = psm * zd_s
+    sig_s, smask = st["sig_s"], st["smask"]
+
+    gnamed["dwf_a"][...] += _dotB(a_s, cf)
+    gnamed["dwf_e"][...] += _dotB(e, cf)
+    gnamed["dbfin"][...] += jnp.sum(cf, axis=0, keepdims=True)
+    gnamed["dwsa_row"][...] += jnp.sum(
+        cs_tot * a_s + a_s_dot, axis=0, keepdims=True
+    )
+    gnamed["dwse_row"][...] += jnp.sum(cs_tot * e + ed, axis=0, keepdims=True)
+    lane_b = (
+        jax.lax.broadcasted_iota(jnp.int32, gnamed["dbs"].shape, 1) == 0
+    ).astype(jnp.float32)
+    gnamed["dbs"][...] += lane_b * jnp.sum(cs_tot)
+
+    wsa = named["wsa_row"][...]
+    wse = named["wse_row"][...]
+    ca_s = cs_tot * wsa + _dotT(cf, named["wf_a"][...])
+    ce_head = cs_tot * wse + _dotT(cf, named["wf_e"][...])
+    cad = jnp.broadcast_to(wsa, ca_s.shape)
+    ced_head = wse
+
+    cz = ca_s * psm + cad * zd_s * (100.0 * sig_s * (1.0 - sig_s) * smask)
+    czd = cad * psm
+    gnamed["dwskip"][...] += _dotB(a_list[n_hidden], cz) + _dotB(
+        t_list[n_hidden], czd
+    )
+    gnamed["dbskip"][...] += jnp.sum(cz, axis=0, keepdims=True)
+    ca_s = _dotT(cz, named["wskip"][...])
+    cat = _dotT(czd, named["wskip"][...])
+
+    for i in reversed(range(n_hidden)):
+        p = p_list[i]
+        cz = ca_s * p + cat * zd_list[i] * (100.0 * p * (1.0 - p))
+        czd = cat * p
+        gnamed[f"dw{i}"][...] += _dotB(a_list[i], cz) + _dotB(t_list[i], czd)
+        gnamed[f"db{i}"][...] += jnp.sum(cz, axis=0, keepdims=True)
+        ca_s = _dotT(cz, named[f"w{i}"][...])
+        cat = _dotT(czd, named[f"w{i}"][...])
+
+    ce = ca_s + ce_head
+    ced = cat + ced_head
+    cxe = ce * de + ced * xed * dde
+    cx3 = jax.lax.dot_general(
+        cxe, comp,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dx_ref[...] = cx3 * ss.scale + cx_rgb
+
+
+# ---------------------------------------------------------------------------
+# pallas_call drivers
+# ---------------------------------------------------------------------------
+
+
+def _full(a):
+    return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                        memory_space=pltpu.VMEM)
+
+
+def _blk(cols):
+    return pl.BlockSpec((BLOCK, cols), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _acc(shape):
+    return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+
+def _weight_args(spec: FusedNeuSSpec, s_weights, c_weights, bwd: bool):
+    args = [s_weights[nm] for nm in _sdf_w_names(spec.sdf, bwd)]
+    args += [c_weights[nm] for nm in fused_color._name_list(spec.color)]
+    return args
+
+
+def _run_fwd(spec: FusedNeuSSpec, s_weights, c_weights, pts, dirs, dists, sc):
+    P = pts.shape[0]
+    consts = [jnp.asarray(c) for c in _pe_constants(spec.sdf)]
+    w_args = _weight_args(spec, s_weights, c_weights, bwd=False)
+    outs = pl.pallas_call(
+        functools.partial(_fwd_kernel, spec),
+        grid=(P // BLOCK,),
+        in_specs=[_blk(3), _blk(3), _blk(8), _full(sc)]
+        + [_full(c) for c in consts]
+        + [_full(w) for w in w_args],
+        out_specs=(_blk(8), _blk(8), _acc((1, LANE))),
+        out_shape=(
+            jax.ShapeDtypeStruct((P, 8), jnp.float32),
+            jax.ShapeDtypeStruct((P, 8), jnp.float32),
+            jax.ShapeDtypeStruct((1, LANE), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(pts, dirs, dists, sc, *consts, *w_args)
+    return outs
+
+
+def _run_bwd(spec: FusedNeuSSpec, s_weights, c_weights, pts, dirs, dists, sc,
+             cpack, crgb, ceik):
+    P = pts.shape[0]
+    consts = [jnp.asarray(c) for c in _pe_constants(spec.sdf)]
+    w_args = _weight_args(spec, s_weights, c_weights, bwd=True)
+    s_gnames = [nm for nm in _sdf_w_names(spec.sdf, bwd=True)
+                if not nm.startswith("ws_")]
+    c_gnames = fused_color._name_list(spec.color)
+    grad_shapes = [s_weights[nm].shape for nm in s_gnames] + [
+        c_weights[nm].shape for nm in c_gnames
+    ]
+    out_specs = [_blk(3), _blk(3), _blk(8), _acc((1, LANE))] + [
+        _acc(s) for s in grad_shapes
+    ]
+    out_shape = (
+        [
+            jax.ShapeDtypeStruct((P, 3), jnp.float32),
+            jax.ShapeDtypeStruct((P, 3), jnp.float32),
+            jax.ShapeDtypeStruct((P, 8), jnp.float32),
+            jax.ShapeDtypeStruct((1, LANE), jnp.float32),
+        ]
+        + [jax.ShapeDtypeStruct(s, jnp.float32) for s in grad_shapes]
+    )
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, spec),
+        grid=(P // BLOCK,),
+        in_specs=[_blk(3), _blk(3), _blk(8), _full(sc), _blk(8), _blk(8),
+                  _full(ceik)]
+        + [_full(c) for c in consts]
+        + [_full(w) for w in w_args],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(pts, dirs, dists, sc, cpack, crgb, ceik, *consts, *w_args)
+    dx, dd, dt, dsc = outs[:4]
+    gs = outs[4:]
+    d_s = dict(zip(s_gnames, gs[: len(s_gnames)]))
+    d_c = dict(zip(c_gnames, gs[len(s_gnames):]))
+    return dx, dd, dt, dsc, d_s, d_c
+
+
+def kernel_flops_per_point(spec: FusedNeuSSpec) -> tuple[float, float]:
+    """(forward, backward) matmul FLOPs per point (padded shapes), for
+    bench.py's MFU estimate — Pallas work is invisible to XLA's ledger.
+
+    fwd = SDF fwd (incl. gradient reverse sweep) + color fwd + head row-sums.
+    bwd = SDF fwd recompute + tangent stack + reverse + color fwd recompute
+          + color reverse; the alpha/eikonal chains are elementwise."""
+    s_fwd, s_bwd = fused_sdf.kernel_flops_per_point(spec.sdf)
+    c_fwd, c_bwd = fused_color.kernel_flops_per_point(spec.color)
+    # our bwd recomputes the sdf forward+gradient too (fused_sdf's bwd only
+    # runs primal+tangent stacks); approximate that extra as s_fwd
+    return s_fwd + c_fwd, s_bwd + c_bwd + s_fwd
+
+
+# ---------------------------------------------------------------------------
+# public API with custom VJP
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _fused_core(weights, pts, dirs, dists, sc, spec):
+    """weights = {"s": sdf dense, "c": color dense}; block-aligned inputs;
+    sc = (1, LANE) scalar pack [inv_s, cos_anneal_ratio, 0...].
+    Returns (pack (P, 8) = [sdf, alpha, cdf, g3, inside, 0],
+             rgb (P, 8) = [main3, extra3, 0, 0], eik (1, LANE) = [num, den])."""
+    return _run_fwd(spec, weights["s"], weights["c"], pts, dirs, dists, sc)
+
+
+def _fused_core_fwd(weights, pts, dirs, dists, sc, spec):
+    out = _fused_core(weights, pts, dirs, dists, sc, spec)
+    return out, (weights, pts, dirs, dists, sc)
+
+
+def _fused_core_bwd(spec, res, cots):
+    weights, pts, dirs, dists, sc = res
+    cpack, crgb, ceik = cots
+    dx, dd, dt, dsc, d_s, d_c = _run_bwd(
+        spec, weights["s"], weights["c"], pts, dirs, dists, sc,
+        cpack, crgb, ceik,
+    )
+    # duplicated sdf-head forms receive zero; full head grad rides the row
+    # forms and dense_weights' VJP sums every copy's contribution
+    d_s["ws_a"] = jnp.zeros_like(weights["s"]["ws_a"])
+    d_s["ws_e"] = jnp.zeros_like(weights["s"]["ws_e"])
+    return {"s": d_s, "c": d_c}, dx, dd, dt, dsc
+
+
+_fused_core.defvjp(_fused_core_fwd, _fused_core_bwd)
+
+
+def point_eval_fused(
+    sdf_params, sdf_cfg, color_params, color_cfg,
+    pts, dirs, dists, inv_s, cos_anneal_ratio,
+):
+    """The whole NeuS per-point pipeline as one fused op.
+
+    Args are flat per-point arrays: pts/dirs (P, 3), dists (P,). Returns
+    (sdf (P,1), gradients (P,3), rgb (P, 6 or 3), alpha (P,), cdf (P,),
+    inside_sphere (P,), gradient_error scalar). Caller guarantees the
+    configs are supported (spec_from_configs is not None)."""
+    P = pts.shape[0]
+    spec = spec_from_configs(sdf_cfg, color_cfg, P)
+    s_weights = fused_sdf.dense_weights(sdf_params, fused_sdf.spec_from_config(sdf_cfg))
+    c_weights = fused_color.dense_weights(
+        color_params, fused_color.spec_from_config(color_cfg)
+    )
+    sc = jnp.zeros((1, LANE), jnp.float32)
+    sc = sc.at[0, 0].set(inv_s).at[0, 1].set(
+        jnp.asarray(cos_anneal_ratio, jnp.float32)
+    )
+    dists8 = jnp.concatenate(
+        [dists.reshape(P, 1), jnp.zeros((P, 7), jnp.float32)], axis=1
+    )
+    pad = (-P) % BLOCK
+    if pad:
+        z3 = jnp.zeros((pad, 3), jnp.float32)
+        pts = jnp.concatenate([pts, z3], 0)
+        dirs = jnp.concatenate([dirs, z3], 0)
+        dists8 = jnp.concatenate([dists8, jnp.zeros((pad, 8), jnp.float32)], 0)
+    pack, rgb, eik = _fused_core(
+        {"s": s_weights, "c": c_weights},
+        pts.astype(jnp.float32), dirs.astype(jnp.float32), dists8, sc, spec,
+    )
+    if pad:
+        pack, rgb = pack[:P], rgb[:P]
+    sdf = pack[:, 0:1]
+    alpha = pack[:, 1]
+    cdf = pack[:, 2]
+    gradients = pack[:, 3:6]
+    inside = pack[:, 6]
+    gradient_error = eik[0, 0] / (eik[0, 1] + 1e-5)
+    rgb_out = rgb[:, :6] if color_cfg.extra_color else rgb[:, :3]
+    return sdf, gradients, rgb_out, alpha, cdf, inside, gradient_error

@@ -32,6 +32,12 @@ import jax.numpy as jnp
 from ..fields import networks as nets
 
 
+# test hook: None = auto-gate on backend/config; True/False forces the fused
+# NeuS point megakernel on/off (tests force True to run the interpret-mode
+# kernel on CPU against the pure path)
+_FORCE_MEGA: bool | None = None
+
+
 @dataclasses.dataclass(frozen=True)
 class NeuSConfig:
     n_samples: int = 32
@@ -291,6 +297,33 @@ def render_core(
     pts = (rays_o[:, None, :] + rays_d[:, None, :] * mid_z[..., None]).reshape(-1, 3)
     dirs = jnp.broadcast_to(rays_d[:, None, :], (R, S, 3)).reshape(-1, 3)
 
+    inv_s = jnp.clip(nets.variance_inv_s(params["variance"]), 1e-6, 1e6)
+
+    # fused NeuS point megakernel (ops/fused_neus.py): SDF + spatial
+    # gradient + color + alpha + eikonal partials in one VMEM-resident
+    # Pallas pass — the geometry feature and the alpha intermediates never
+    # touch HBM. Same auto-gate as the individual kernels.
+    if _FORCE_MEGA is not None:  # test hook (interpret-mode parity oracles)
+        use_mega = _FORCE_MEGA and background_alpha is None
+    else:
+        use_mega = (
+            cfgs.sdf.use_pallas
+            and cfgs.color.use_pallas
+            and background_alpha is None
+            and cfgs.sdf.d_hidden >= 256
+            and jax.default_backend() == "tpu"
+        )
+    if use_mega:
+        from ..ops import fused_neus
+
+        if fused_neus.spec_from_configs(cfgs.sdf, cfgs.color, pts.shape[0]) is None:
+            use_mega = False
+    if use_mega:
+        return _render_core_fused(
+            params, cfg, cfgs, pts, dirs, dists, mid_z, inv_s,
+            cos_anneal_ratio, background_rgb, R, S,
+        )
+
     sdf, feature, gradients = nets.sdf_with_gradient(params["sdf"], cfgs.sdf, pts)
 
     raw_color = nets.color_eval(
@@ -303,8 +336,6 @@ def render_core(
     else:
         sampled_color = raw_color.reshape(R, S, 3)
         extra_sampled_color = None
-
-    inv_s = jnp.clip(nets.variance_inv_s(params["variance"]), 1e-6, 1e6)
 
     true_cos = jnp.sum(dirs * gradients, axis=-1, keepdims=True)
     # cos annealing (renderer.py:239-242): keeps alpha alive early in training
@@ -373,6 +404,64 @@ def render_core(
         "mid_z_vals": mid_z,
         "weights": weights,
         "cdf": c.reshape(R, S),
+        "gradient_error": gradient_error,
+        "inside_sphere": inside_sphere,
+    }
+
+
+def _render_core_fused(
+    params, cfg, cfgs, pts, dirs, dists, mid_z, inv_s,
+    cos_anneal_ratio, background_rgb, R: int, S: int,
+):
+    """render_core's tail when the fused NeuS point kernel carries the
+    per-point pipeline: only the per-ray compositing (cumprod, weighted
+    sums — renderer.py:250-266) stays in XLA."""
+    from ..ops import fused_neus
+
+    sdf, gradients, raw_color, alpha_f, cdf_f, inside_f, gradient_error = (
+        fused_neus.point_eval_fused(
+            params["sdf"], cfgs.sdf, params["color"], cfgs.color,
+            pts, dirs, dists.reshape(-1), inv_s, cos_anneal_ratio,
+        )
+    )
+    if cfg.extra_color:
+        raw_color = raw_color.reshape(R, S, 6)
+        sampled_color = raw_color[..., :3]
+        extra_sampled_color = raw_color[..., 3:]
+    else:
+        sampled_color = raw_color.reshape(R, S, 3)
+        extra_sampled_color = None
+    alpha = alpha_f.reshape(R, S)
+    inside_sphere = jax.lax.stop_gradient(inside_f.reshape(R, S))
+
+    trans = jnp.cumprod(
+        jnp.concatenate([jnp.ones((R, 1)), 1.0 - alpha + 1e-7], -1), -1
+    )[:, :-1]
+    weights = alpha * trans
+    weights_sum = jnp.sum(weights, axis=-1, keepdims=True)
+
+    color = jnp.sum(sampled_color * weights[..., None], axis=1)
+    if cfg.extra_color:
+        extra_color = jnp.sum(extra_sampled_color * weights[..., None], axis=1)
+    else:
+        extra_color = None
+
+    if background_rgb is not None:
+        if cfg.extra_color:
+            extra_color = extra_color + background_rgb * (1.0 - weights_sum)
+        else:
+            color = color + background_rgb * (1.0 - weights_sum)
+
+    return {
+        "color": color,
+        "extra_color": extra_color,
+        "sdf": sdf,
+        "dists": dists,
+        "gradients": gradients.reshape(R, S, 3),
+        "s_val": 1.0 / inv_s,
+        "mid_z_vals": mid_z,
+        "weights": weights,
+        "cdf": cdf_f.reshape(R, S),
         "gradient_error": gradient_error,
         "inside_sphere": inside_sphere,
     }

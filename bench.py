@@ -85,19 +85,19 @@ def main():
             # Pallas kernels are invisible to XLA's FLOP ledger — add their
             # analytic matmul counts when the auto-gates engage
             if jax.default_backend() == "tpu":
-                from avatarclip_tpu.ops import fused_color, fused_sdf
+                from avatarclip_tpu.ops import fused_neus
 
                 cfgs = runner.cfgs
                 P = R * (runner.ncfg.n_samples + runner.ncfg.n_importance)
-                if cfgs.sdf.use_pallas and cfgs.sdf.d_hidden >= 256:
-                    spec = fused_sdf.spec_from_config(cfgs.sdf)
-                    if spec is not None:
-                        flops += P * sum(fused_sdf.kernel_flops_per_point(spec))
-                if cfgs.color.use_pallas and cfgs.color.d_hidden >= 256:
-                    spec = fused_color.spec_from_config(cfgs.color)
+                if (
+                    cfgs.sdf.use_pallas
+                    and cfgs.color.use_pallas
+                    and cfgs.sdf.d_hidden >= 256
+                ):
+                    spec = fused_neus.spec_from_configs(cfgs.sdf, cfgs.color, P)
                     if spec is not None:
                         flops += P * sum(
-                            fused_color.kernel_flops_per_point(spec)
+                            fused_neus.kernel_flops_per_point(spec)
                         )
         tflops_sustained = flops * iters / dt / 1e12
         mfu_pct = round(100.0 * tflops_sustained / 197.0, 2)

@@ -1,0 +1,151 @@
+"""Parity oracles for the fused NeuS point megakernel (ops/fused_neus.py):
+render_core with the kernel forced on (interpret mode on CPU) must match
+the pure XLA path — outputs AND the full VJP through params, rays and
+z_vals."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from avatarclip_tpu.fields import networks as nets
+from avatarclip_tpu.ops import fused_neus, fused_sdf
+from avatarclip_tpu.render import neus
+
+
+@pytest.fixture(scope="module", params=["extra", "plain"])
+def setup(request):
+    sdf_cfg = nets.SDFConfig(
+        d_out=257, d_hidden=256, n_layers=4, skip_in=(4,), multires=6
+    )
+    color_cfg = nets.ColorConfig(
+        d_feature=256, mode="no_view_dir", d_in=6, d_hidden=256, n_layers=2,
+        extra_color=(request.param == "extra"),
+    )
+    cfg = neus.NeuSConfig(
+        n_samples=8, n_importance=8, up_sample_steps=2, perturb=0.0,
+        extra_color=(request.param == "extra"),
+    )
+    cfgs = neus.NetConfigs(sdf=sdf_cfg, color=color_cfg)
+    k = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(k)
+    params = {
+        "sdf": nets.sdf_init(k1, sdf_cfg),
+        "color": nets.color_init(k2, color_cfg),
+        "variance": nets.variance_init(0.3),
+    }
+    R, S = 4, 16
+    ko, kd = jax.random.split(jax.random.PRNGKey(5))
+    rays_o = jnp.array([[0.0, 0.0, -2.2]]) + 0.1 * jax.random.normal(
+        ko, (R, 3)
+    )
+    rays_d = jnp.array([[0.0, 0.0, 1.0]]) + 0.05 * jax.random.normal(
+        kd, (R, 3)
+    )
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    z_vals = jnp.linspace(1.2, 3.2, S)[None, :] + 0.01 * jax.random.uniform(
+        jax.random.PRNGKey(6), (R, S)
+    )
+    return cfg, cfgs, params, rays_o, rays_d, z_vals
+
+
+def _core(params, cfg, cfgs, rays_o, rays_d, z_vals, force):
+    neus._FORCE_MEGA = force
+    try:
+        return neus.render_core(
+            params, cfg, cfgs, rays_o, rays_d, z_vals,
+            sample_dist=2.0 / cfg.n_samples, cos_anneal_ratio=0.3,
+        )
+    finally:
+        neus._FORCE_MEGA = None
+
+
+def test_forward_matches_pure(setup, monkeypatch):
+    monkeypatch.setattr(fused_sdf, "_OPERAND_DTYPE", jnp.float32)
+    cfg, cfgs, params, rays_o, rays_d, z_vals = setup
+    out_f = _core(params, cfg, cfgs, rays_o, rays_d, z_vals, True)
+    out_p = _core(params, cfg, cfgs, rays_o, rays_d, z_vals, False)
+    for key in ("color", "extra_color", "sdf", "gradients", "weights",
+                "cdf", "gradient_error", "inside_sphere"):
+        if out_p[key] is None:
+            assert out_f[key] is None, key
+            continue
+        np.testing.assert_allclose(
+            np.asarray(out_f[key]), np.asarray(out_p[key]),
+            atol=2e-5, rtol=1e-4, err_msg=key,
+        )
+
+
+def test_vjp_matches_pure(setup, monkeypatch):
+    """Full reverse-mode equivalence: params (all three nets incl. the
+    variance scalar), rays and z_vals."""
+    monkeypatch.setattr(fused_sdf, "_OPERAND_DTYPE", jnp.float32)
+    cfg, cfgs, params, rays_o, rays_d, z_vals = setup
+    probes = jax.random.normal(jax.random.PRNGKey(9), (4,))
+
+    def loss(force):
+        def f(p, ro, rd, zv):
+            out = _core(p, cfg, cfgs, ro, rd, zv, force)
+            extra = out["extra_color"]
+            l = (
+                jnp.sum(out["color"] * probes[0])
+                + jnp.sum(out["weights"] * probes[1])
+                + jnp.sum(out["gradients"] * probes[2]) * 1e-2
+                + jnp.sum(out["sdf"]) * probes[3] * 1e-2
+                + out["gradient_error"]
+            )
+            if extra is not None:
+                l = l + jnp.sum(extra * probes[0])
+            return l
+
+        return f
+
+    g_f = jax.grad(loss(True), argnums=(0, 1, 2, 3))(
+        params, rays_o, rays_d, z_vals
+    )
+    g_p = jax.grad(loss(False), argnums=(0, 1, 2, 3))(
+        params, rays_o, rays_d, z_vals
+    )
+    leaves_f, tree_f = jax.tree_util.tree_flatten(g_f)
+    leaves_p, tree_p = jax.tree_util.tree_flatten(g_p)
+    assert tree_f == tree_p
+    for a, b in zip(leaves_f, leaves_p):
+        scale = max(1.0, float(jnp.abs(b).max()))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4 * scale, rtol=2e-3
+        )
+
+
+def test_bf16_close(setup):
+    """With the production bf16 operand dtype the kernel path must stay
+    within bf16-roundoff of the pure (bf16-matmul) path."""
+    cfg, cfgs, params, rays_o, rays_d, z_vals = setup
+    out_f = _core(params, cfg, cfgs, rays_o, rays_d, z_vals, True)
+    out_p = _core(params, cfg, cfgs, rays_o, rays_d, z_vals, False)
+    assert float(jnp.abs(out_f["color"] - out_p["color"]).max()) < 5e-2
+    assert (
+        abs(float(out_f["gradient_error"]) - float(out_p["gradient_error"]))
+        < 2e-1
+    )
+
+
+def test_full_render_with_upsampling(setup, monkeypatch):
+    """The megakernel inside the complete hierarchical render()."""
+    monkeypatch.setattr(fused_sdf, "_OPERAND_DTYPE", jnp.float32)
+    cfg, cfgs, params, rays_o, rays_d, z_vals = setup
+    near = jnp.full((4, 1), 1.2)
+    far = jnp.full((4, 1), 3.2)
+    neus._FORCE_MEGA = True
+    try:
+        out_f = neus.render(params, cfg, cfgs, rays_o, rays_d, near, far)
+    finally:
+        neus._FORCE_MEGA = None
+    out_p = neus.render(params, cfg, cfgs, rays_o, rays_d, near, far)
+    np.testing.assert_allclose(
+        np.asarray(out_f["color_fine"]), np.asarray(out_p["color_fine"]),
+        atol=2e-5, rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_f["weight_sum"]), np.asarray(out_p["weight_sum"]),
+        atol=2e-5, rtol=1e-4,
+    )
