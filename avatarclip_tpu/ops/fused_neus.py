@@ -8,18 +8,22 @@ two kernels) and render_core's per-point alpha/eikonal math
 (reference: AvatarGen/AppearanceGen/models/renderer.py:221-262), each
 stream costing ~1-3 ms of pure HBM bandwidth.
 
-This kernel evaluates, per 256-point block, entirely in VMEM:
+This kernel evaluates, per block of rays (rays_per_block x
+samples_per_ray points; rays_per_block is a multiple of 8 for the Mosaic
+sublane constraint), entirely in VMEM:
 
+    rays -> points (o + d * z)  [the (P, 3) point cloud never exists in HBM]
     positional encoding -> SDF MLP -> (sdf, geometry feature)
     -> analytic spatial gradient (reverse sweep)
     -> rendering MLP -> rgb (+ extra head, sigmoid)
     -> logistic-CDF alpha (cos-annealed, renderer.py:221-248)
     -> eikonal partial sums (relax-sphere-masked, renderer.py:277-280)
 
-The geometry feature, every MLP activation, and the alpha intermediates
-never touch HBM. Outputs per point are only the values render_core's
-callers actually consume: [sdf, alpha, cdf, grad(3), inside_sphere] and
-[rgb(3), extra(3)], plus (num, den) eikonal accumulators.
+The geometry feature, every MLP activation, the point cloud and the alpha
+intermediates never touch HBM. Every output is exact-width (sdf (P,1),
+alpha (P,1), cdf (P,1), grad (P,3), inside (P,1), rgb (P,3|6)) — earlier
+revisions packed outputs into (P, 8) lanes and paid ~1 ms per XLA
+slice/pad on each side of the custom_vjp boundary.
 
 Backward (custom_vjp, one kernel): recomputes the forward per block,
 reverses the color MLP by hand (same math as fused_color), differentiates
@@ -28,13 +32,13 @@ elementwise chains; in-kernel AD keeps them in VMEM and avoids hand-derived
 second-order mistakes), then folds the total sdf/gradient/feature
 cotangents through the forward-over-reverse SDF machinery of
 fused_sdf._bwd_kernel (the gradient cotangent becomes a forward-mode
-tangent direction; softplus'' terms explicit). Weight gradients and the
-inv_s gradient accumulate into revisited output blocks across the
-sequential grid.
+tangent direction; softplus'' terms explicit). Ray cotangents are reduced
+over samples in-kernel; weight and inv_s gradients accumulate into
+revisited output blocks across the sequential grid.
 
 custom_vjp boundary: dense weights (weight-norm resolution stays in
-differentiable XLA), raw points, ray dirs, dists, and the [inv_s,
-cos_anneal] scalar pack.
+differentiable XLA), rays_o/rays_d, flat mid-z and dists, and the
+[inv_s, cos_anneal] scalar pack.
 """
 
 from __future__ import annotations
@@ -50,12 +54,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import fused_color, fused_sdf
 from .fused_sdf import (
-    BLOCK,
     LANE,
     _dot_f32,
     _pe_constants,
     _sp,
 )
+
+# Points per grid step are spec-derived: rays_per_block must be a multiple
+# of 8 (Mosaic sublane constraint on the (Rb, 3) ray blocks) and the block
+# targets ~512 points to keep the MXU dots well-shaped.
+_TARGET_BLOCK = 512
 
 
 def _dot(a, b):
@@ -85,17 +93,30 @@ def _dotB(a, b):
 class FusedNeuSSpec:
     sdf: fused_sdf.FusedSDFSpec
     color: fused_color.FusedColorSpec
-    n_valid: int  # true point count before block padding
+    n_valid: int  # true point count before ray padding
+    samples: int  # samples per ray
+
+    @property
+    def rays_per_block(self) -> int:
+        return max(8, _TARGET_BLOCK // self.samples // 8 * 8)
+
+    @property
+    def block(self) -> int:  # points per grid step
+        return self.rays_per_block * self.samples
 
 
-def spec_from_configs(sdf_cfg, color_cfg, n_valid: int) -> FusedNeuSSpec | None:
+def spec_from_configs(
+    sdf_cfg, color_cfg, n_valid: int, samples: int
+) -> FusedNeuSSpec | None:
     s = fused_sdf.spec_from_config(sdf_cfg)
     c = fused_color.spec_from_config(color_cfg)
     if s is None or c is None:
         return None
     if c.d_feature != s.feat_dim:
         return None
-    return FusedNeuSSpec(sdf=s, color=c, n_valid=n_valid)
+    if samples < 1:
+        return None
+    return FusedNeuSSpec(sdf=s, color=c, n_valid=n_valid, samples=samples)
 
 
 # ---------------------------------------------------------------------------
@@ -103,7 +124,7 @@ def spec_from_configs(sdf_cfg, color_cfg, n_valid: int) -> FusedNeuSSpec | None:
 # ---------------------------------------------------------------------------
 
 
-def _sdf_w_names(spec: fused_sdf.FusedSDFSpec, bwd: bool = False):
+def _sdf_w_names(spec: fused_sdf.FusedSDFSpec):
     # the sdf head rides its row forms (wsa_row/wse_row) only — the padded
     # column forms (ws_a/ws_e) of fused_sdf are not needed here
     names = []
@@ -205,7 +226,72 @@ def _sdf_forward_states(spec, named, x_raw, consts):
     }
 
 
-def _color_forward_states(spec, named, x_raw, g, dirs, feat):
+def _valid_mask(n_valid: int, B: int):
+    idx = pl.program_id(0) * B + jax.lax.broadcasted_iota(
+        jnp.int32, (B, 1), 0
+    )
+    return (idx < n_valid).astype(jnp.float32)
+
+
+def _block_points(spec: FusedNeuSSpec, o_ref, d_ref, z_ref):
+    """rays (Rb, 3) + flat z (B, 1) -> per-point (pts, dirs) in VMEM."""
+    Rb, S = spec.rays_per_block, spec.samples
+    o = o_ref[...]
+    d = d_ref[...]
+    z = z_ref[...]
+    ob = jnp.broadcast_to(o[:, None, :], (Rb, S, 3)).reshape(Rb * S, 3)
+    db = jnp.broadcast_to(d[:, None, :], (Rb, S, 3)).reshape(Rb * S, 3)
+    return ob + db * z, db
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(spec: FusedNeuSSpec, *refs):
+    ss, cs = spec.sdf, spec.color
+    o_ref, d_ref, z_ref, t_ref, sc_ref = refs[:5]
+    consts = [r[...] for r in refs[5:10]]
+    s_names = _sdf_w_names(ss)
+    c_names = [f"c_{nm}" for nm in fused_color._name_list(cs)]
+    named = dict(zip(s_names + c_names, refs[10 : 10 + len(s_names) + len(c_names)]))
+    (sdf_ref, alpha_ref, cdf_ref, grad_ref, inside_ref, rgb_ref,
+     eik_ref) = refs[10 + len(s_names) + len(c_names):]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        eik_ref[...] = jnp.zeros(eik_ref.shape, eik_ref.dtype)
+
+    x_raw, dirs = _block_points(spec, o_ref, d_ref, z_ref)
+    dist = t_ref[...]
+    inv_s = sc_ref[...][0:1, 0:1]  # (1,1): broadcasts; rank-0 extraction is
+    r = sc_ref[...][0:1, 1:2]      # a slow/unsupported layout op on TPU
+
+    st = _sdf_forward_states(ss, named, x_raw, consts)
+    _, head = _color_forward(cs, named, x_raw, st["g"], dirs, st["feat"])
+    alpha, cdf = _alpha_chain(st["sdf"], st["g"], dirs, dist, inv_s, r)
+
+    pts_norm = jnp.sqrt(jnp.sum(x_raw * x_raw, axis=-1, keepdims=True))
+    valid = _valid_mask(spec.n_valid, x_raw.shape[0])
+    inside = (pts_norm < 1.0).astype(jnp.float32)
+    relax = (pts_norm < 1.2).astype(jnp.float32) * valid
+
+    num, den = _eik_terms(st["g"], relax)
+    lane = jax.lax.broadcasted_iota(jnp.int32, eik_ref.shape, 1)
+    eik_ref[...] += jnp.where(
+        lane == 0, num, jnp.where(lane == 1, den, 0.0)
+    )
+
+    sdf_ref[...] = st["sdf"]
+    alpha_ref[...] = alpha
+    cdf_ref[...] = cdf
+    grad_ref[...] = st["g"]
+    inside_ref[...] = inside
+    rgb_ref[...] = head[:, : rgb_ref.shape[1]]
+
+
+def _color_forward(spec, named, x_raw, g, dirs, feat):
     """Rendering-MLP primal forward (fused_color math; normals = g)."""
     z = (
         _dot(x_raw, named["c_wx"][...])
@@ -224,59 +310,6 @@ def _color_forward_states(spec, named, x_raw, g, dirs, feat):
     return acts, head
 
 
-def _valid_mask(n_valid: int, B: int):
-    idx = pl.program_id(0) * B + jax.lax.broadcasted_iota(
-        jnp.int32, (B, 1), 0
-    )
-    return (idx < n_valid).astype(jnp.float32)
-
-
-# ---------------------------------------------------------------------------
-# forward kernel
-# ---------------------------------------------------------------------------
-
-
-def _fwd_kernel(spec: FusedNeuSSpec, *refs):
-    ss, cs = spec.sdf, spec.color
-    x_ref, d_ref, t_ref, sc_ref = refs[:4]
-    consts = [r[...] for r in refs[4:9]]
-    s_names = _sdf_w_names(ss, bwd=False)
-    c_names = [f"c_{nm}" for nm in fused_color._name_list(cs)]
-    named = dict(zip(s_names + c_names, refs[9 : 9 + len(s_names) + len(c_names)]))
-    pack_ref, rgb_ref, eik_ref = refs[9 + len(s_names) + len(c_names):]
-
-    @pl.when(pl.program_id(0) == 0)
-    def _init():
-        eik_ref[...] = jnp.zeros(eik_ref.shape, eik_ref.dtype)
-
-    x_raw = x_ref[...]
-    dirs = d_ref[...]
-    dist = t_ref[...][:, 0:1]
-    inv_s = sc_ref[...][0:1, 0:1]  # (1,1): broadcasts; rank-0 extraction is
-    r = sc_ref[...][0:1, 1:2]      # a slow/unsupported layout op on TPU
-
-    st = _sdf_forward_states(ss, named, x_raw, consts)
-    _, head = _color_forward_states(cs, named, x_raw, st["g"], dirs, st["feat"])
-    alpha, cdf = _alpha_chain(st["sdf"], st["g"], dirs, dist, inv_s, r)
-
-    pts_norm = jnp.sqrt(jnp.sum(x_raw * x_raw, axis=-1, keepdims=True))
-    valid = _valid_mask(spec.n_valid, x_raw.shape[0])
-    inside = (pts_norm < 1.0).astype(jnp.float32)
-    relax = (pts_norm < 1.2).astype(jnp.float32) * valid
-
-    num, den = _eik_terms(st["g"], relax)
-    lane = jax.lax.broadcasted_iota(jnp.int32, eik_ref.shape, 1)
-    eik_ref[...] += jnp.where(
-        lane == 0, num, jnp.where(lane == 1, den, 0.0)
-    )
-
-    pack_ref[...] = jnp.concatenate(
-        [st["sdf"], alpha, cdf, st["g"], inside,
-         jnp.zeros_like(inside)], axis=1
-    )
-    rgb_ref[...] = head
-
-
 # ---------------------------------------------------------------------------
 # backward kernel
 # ---------------------------------------------------------------------------
@@ -284,46 +317,42 @@ def _fwd_kernel(spec: FusedNeuSSpec, *refs):
 
 def _bwd_kernel(spec: FusedNeuSSpec, *refs):
     ss, cs = spec.sdf, spec.color
-    x_ref, d_ref, t_ref, sc_ref, cpack_ref, crgb_ref, ceik_ref = refs[:7]
-    consts = [r[...] for r in refs[7:12]]
+    (o_ref, d_ref, z_ref, t_ref, sc_ref, csdf_ref, calpha_ref, ccdf_ref,
+     cgrad_ref, crgb_ref, ceik_ref) = refs[:11]
+    consts = [r[...] for r in refs[11:16]]
     comp, oneh, freq, sinsel, cossel = consts
-    s_names = _sdf_w_names(ss, bwd=True)
+    s_names = _sdf_w_names(ss)
     c_names = [f"c_{nm}" for nm in fused_color._name_list(cs)]
     n_w = len(s_names) + len(c_names)
-    named = dict(zip(s_names + c_names, refs[12 : 12 + n_w]))
-    outs = refs[12 + n_w:]
-    dx_ref, dd_ref, dt_ref, dsc_ref = outs[:4]
-    gnames = (
-        [f"d{nm}" for nm in _sdf_w_names(ss, bwd=True) if not nm.startswith("ws_")]
-        + [f"d{nm}" for nm in c_names]
-    )
-    gnamed = dict(zip(gnames, outs[4:]))
+    named = dict(zip(s_names + c_names, refs[16 : 16 + n_w]))
+    outs = refs[16 + n_w:]
+    do_ref, dd_ref, dz_ref, dt_ref, dsc_ref = outs[:5]
+    gnames = [f"d{nm}" for nm in s_names] + [f"d{nm}" for nm in c_names]
+    gnamed = dict(zip(gnames, outs[5:]))
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
         dsc_ref[...] = jnp.zeros(dsc_ref.shape, dsc_ref.dtype)
-        for rr in outs[4:]:
+        for rr in outs[5:]:
             rr[...] = jnp.zeros(rr.shape, rr.dtype)
 
-    x_raw = x_ref[...]
-    dirs = d_ref[...]
-    dist = t_ref[...][:, 0:1]
+    x_raw, dirs = _block_points(spec, o_ref, d_ref, z_ref)
+    dist = t_ref[...]
     inv_s = sc_ref[...][0:1, 0:1]
     r = sc_ref[...][0:1, 1:2]
     B = x_raw.shape[0]
+    Rb, S = spec.rays_per_block, spec.samples
 
-    cpack = cpack_ref[...]
-    c_sdf = cpack[:, 0:1]
-    c_alpha = cpack[:, 1:2]
-    c_cdf = cpack[:, 2:3]
-    cg_ext = cpack[:, 3:6]
-    crgb = crgb_ref[...]  # (B, 8), pad cols zero
+    c_sdf = csdf_ref[...]
+    c_alpha = calpha_ref[...]
+    c_cdf = ccdf_ref[...]
+    cg_ext = cgrad_ref[...]
+    crgb = crgb_ref[...]  # (B, 3|6)
     c_num = ceik_ref[...][0:1, 0:1]  # (1,1)
 
     # ---- recompute forward states ------------------------------------
     st = _sdf_forward_states(ss, named, x_raw, consts)
     feat, g, sdf = st["feat"], st["g"], st["sdf"]
-    acts_c, head_raw = None, None  # filled below
 
     z0 = (
         _dot(x_raw, named["c_wx"][...])
@@ -339,7 +368,10 @@ def _bwd_kernel(spec: FusedNeuSSpec, *refs):
     head_raw = _dot(acts_c[-1], named["c_whead"][...]) + named["c_bhead"][...]
 
     # ---- color reverse (fused_color._bwd_kernel math) ------------------
-    cot = crgb
+    W = crgb.shape[1]
+    cot = jnp.concatenate(
+        [crgb, jnp.zeros((B, 8 - W), jnp.float32)], axis=1
+    ) if W < 8 else crgb
     if cs.squeeze_out:
         sig = jax.nn.sigmoid(head_raw)
         cot = cot * sig * (1.0 - sig)
@@ -383,15 +415,12 @@ def _bwd_kernel(spec: FusedNeuSSpec, *refs):
     # ---- totals --------------------------------------------------------
     cs_tot = (c_sdf + cs_a) / ss.scale  # to s_net units (fused_sdf layout)
     v = cg_ext + cg_rgb + cg_a + cg_eik  # tangent direction = cot on grad
-    dd_ref[...] = cd_rgb + cd_a
-    dt_ref[...] = jnp.concatenate(
-        [ct_a, jnp.zeros((B, 7), jnp.float32)], axis=1
-    )
+    c_dirs = cd_rgb + cd_a
+    dt_ref[...] = ct_a
     lane = jax.lax.broadcasted_iota(jnp.int32, dsc_ref.shape, 1)
     dsc_ref[...] += jnp.where(lane == 0, civs, 0.0)  # civs (1,1) broadcasts
 
     # ---- SDF reverse: forward-over-reverse (fused_sdf._bwd_kernel) ------
-    x = x_raw * ss.scale
     e, de, dde = st["e"], st["de"], st["dde"]
     a_list, p_list = st["a_list"], st["p_list"]
     n_hidden = ss.n_hidden
@@ -456,7 +485,18 @@ def _bwd_kernel(spec: FusedNeuSSpec, *refs):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    dx_ref[...] = cx3 * ss.scale + cx_rgb
+    dx = cx3 * ss.scale + cx_rgb  # cot on raw points (B, 3)
+
+    # ---- point/dir cots -> ray cots (reduce over samples in-kernel) -----
+    d_full = jnp.broadcast_to(
+        d_ref[...][:, None, :], (Rb, S, 3)
+    ).reshape(B, 3)
+    z = z_ref[...]
+    dz_ref[...] = jnp.sum(dx * d_full, axis=-1, keepdims=True)
+    do_ref[...] = jnp.sum(dx.reshape(Rb, S, 3), axis=1)
+    dd_ref[...] = jnp.sum(
+        (dx * z + c_dirs).reshape(Rb, S, 3), axis=1
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -469,8 +509,13 @@ def _full(a):
                         memory_space=pltpu.VMEM)
 
 
-def _blk(cols):
-    return pl.BlockSpec((BLOCK, cols), lambda i: (i, 0),
+def _blk(spec, cols):
+    return pl.BlockSpec((spec.block, cols), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _rblk(spec, cols):
+    return pl.BlockSpec((spec.rays_per_block, cols), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -478,26 +523,36 @@ def _acc(shape):
     return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
 
 
-def _weight_args(spec: FusedNeuSSpec, s_weights, c_weights, bwd: bool):
-    args = [s_weights[nm] for nm in _sdf_w_names(spec.sdf, bwd)]
+def _weight_args(spec: FusedNeuSSpec, s_weights, c_weights):
+    args = [s_weights[nm] for nm in _sdf_w_names(spec.sdf)]
     args += [c_weights[nm] for nm in fused_color._name_list(spec.color)]
     return args
 
 
-def _run_fwd(spec: FusedNeuSSpec, s_weights, c_weights, pts, dirs, dists, sc):
-    P = pts.shape[0]
+def _rgb_width(spec: FusedNeuSSpec) -> int:
+    return 6 if spec.color.extra_color else 3
+
+
+def _run_fwd(spec: FusedNeuSSpec, s_weights, c_weights, ro, rd, z, dists, sc):
+    P = z.shape[0]
     consts = [jnp.asarray(c) for c in _pe_constants(spec.sdf)]
-    w_args = _weight_args(spec, s_weights, c_weights, bwd=False)
+    w_args = _weight_args(spec, s_weights, c_weights)
+    W = _rgb_width(spec)
     outs = pl.pallas_call(
         functools.partial(_fwd_kernel, spec),
-        grid=(P // BLOCK,),
-        in_specs=[_blk(3), _blk(3), _blk(8), _full(sc)]
+        grid=(P // spec.block,),
+        in_specs=[_rblk(spec, 3), _rblk(spec, 3), _blk(spec, 1), _blk(spec, 1), _full(sc)]
         + [_full(c) for c in consts]
         + [_full(w) for w in w_args],
-        out_specs=(_blk(8), _blk(8), _acc((1, LANE))),
+        out_specs=(_blk(spec, 1), _blk(spec, 1), _blk(spec, 1), _blk(spec, 3),
+                   _blk(spec, 1), _blk(spec, W), _acc((1, LANE))),
         out_shape=(
-            jax.ShapeDtypeStruct((P, 8), jnp.float32),
-            jax.ShapeDtypeStruct((P, 8), jnp.float32),
+            jax.ShapeDtypeStruct((P, 1), jnp.float32),
+            jax.ShapeDtypeStruct((P, 1), jnp.float32),
+            jax.ShapeDtypeStruct((P, 1), jnp.float32),
+            jax.ShapeDtypeStruct((P, 3), jnp.float32),
+            jax.ShapeDtypeStruct((P, 1), jnp.float32),
+            jax.ShapeDtypeStruct((P, W), jnp.float32),
             jax.ShapeDtypeStruct((1, LANE), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
@@ -505,38 +560,41 @@ def _run_fwd(spec: FusedNeuSSpec, s_weights, c_weights, pts, dirs, dists, sc):
             dimension_semantics=("arbitrary",),
         ),
         interpret=jax.default_backend() != "tpu",
-    )(pts, dirs, dists, sc, *consts, *w_args)
+    )(ro, rd, z, dists, sc, *consts, *w_args)
     return outs
 
 
-def _run_bwd(spec: FusedNeuSSpec, s_weights, c_weights, pts, dirs, dists, sc,
-             cpack, crgb, ceik):
-    P = pts.shape[0]
+def _run_bwd(spec: FusedNeuSSpec, s_weights, c_weights, ro, rd, z, dists, sc,
+             cots):
+    P = z.shape[0]
+    Rp = ro.shape[0]
     consts = [jnp.asarray(c) for c in _pe_constants(spec.sdf)]
-    w_args = _weight_args(spec, s_weights, c_weights, bwd=True)
-    s_gnames = [nm for nm in _sdf_w_names(spec.sdf, bwd=True)
-                if not nm.startswith("ws_")]
+    w_args = _weight_args(spec, s_weights, c_weights)
+    s_gnames = _sdf_w_names(spec.sdf)
     c_gnames = fused_color._name_list(spec.color)
     grad_shapes = [s_weights[nm].shape for nm in s_gnames] + [
         c_weights[nm].shape for nm in c_gnames
     ]
-    out_specs = [_blk(3), _blk(3), _blk(8), _acc((1, LANE))] + [
-        _acc(s) for s in grad_shapes
-    ]
+    out_specs = [_rblk(spec, 3), _rblk(spec, 3), _blk(spec, 1), _blk(spec, 1),
+                 _acc((1, LANE))] + [_acc(s) for s in grad_shapes]
     out_shape = (
         [
-            jax.ShapeDtypeStruct((P, 3), jnp.float32),
-            jax.ShapeDtypeStruct((P, 3), jnp.float32),
-            jax.ShapeDtypeStruct((P, 8), jnp.float32),
+            jax.ShapeDtypeStruct((Rp, 3), jnp.float32),
+            jax.ShapeDtypeStruct((Rp, 3), jnp.float32),
+            jax.ShapeDtypeStruct((P, 1), jnp.float32),
+            jax.ShapeDtypeStruct((P, 1), jnp.float32),
             jax.ShapeDtypeStruct((1, LANE), jnp.float32),
         ]
         + [jax.ShapeDtypeStruct(s, jnp.float32) for s in grad_shapes]
     )
+    c_sdf, c_alpha, c_cdf, c_grad, c_inside, c_rgb, c_eik = cots
+    W = _rgb_width(spec)
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, spec),
-        grid=(P // BLOCK,),
-        in_specs=[_blk(3), _blk(3), _blk(8), _full(sc), _blk(8), _blk(8),
-                  _full(ceik)]
+        grid=(P // spec.block,),
+        in_specs=[_rblk(spec, 3), _rblk(spec, 3), _blk(spec, 1), _blk(spec, 1),
+                  _full(sc), _blk(spec, 1), _blk(spec, 1), _blk(spec, 1),
+                  _blk(spec, 3), _blk(spec, W), _full(c_eik)]
         + [_full(c) for c in consts]
         + [_full(w) for w in w_args],
         out_specs=tuple(out_specs),
@@ -546,12 +604,13 @@ def _run_bwd(spec: FusedNeuSSpec, s_weights, c_weights, pts, dirs, dists, sc,
             dimension_semantics=("arbitrary",),
         ),
         interpret=jax.default_backend() != "tpu",
-    )(pts, dirs, dists, sc, cpack, crgb, ceik, *consts, *w_args)
-    dx, dd, dt, dsc = outs[:4]
-    gs = outs[4:]
+    )(ro, rd, z, dists, sc, c_sdf, c_alpha, c_cdf, c_grad, c_rgb, c_eik,
+      *consts, *w_args)
+    do, dd, dz, dt, dsc = outs[:5]
+    gs = outs[5:]
     d_s = dict(zip(s_gnames, gs[: len(s_gnames)]))
     d_c = dict(zip(c_gnames, gs[len(s_gnames):]))
-    return dx, dd, dt, dsc, d_s, d_c
+    return do, dd, dz, dt, dsc, d_s, d_c
 
 
 def kernel_flops_per_point(spec: FusedNeuSSpec) -> tuple[float, float]:
@@ -574,31 +633,32 @@ def kernel_flops_per_point(spec: FusedNeuSSpec) -> tuple[float, float]:
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _fused_core(weights, pts, dirs, dists, sc, spec):
-    """weights = {"s": sdf dense, "c": color dense}; block-aligned inputs;
-    sc = (1, LANE) scalar pack [inv_s, cos_anneal_ratio, 0...].
-    Returns (pack (P, 8) = [sdf, alpha, cdf, g3, inside, 0],
-             rgb (P, 8) = [main3, extra3, 0, 0], eik (1, LANE) = [num, den])."""
-    return _run_fwd(spec, weights["s"], weights["c"], pts, dirs, dists, sc)
+def _fused_core(weights, rays, z, dists, sc, spec):
+    """weights = {"s": sdf dense, "c": color dense}; rays = (ro, rd) padded
+    to whole blocks of rays; z/dists flat (P, 1); sc = (1, LANE) scalar
+    pack [inv_s, cos_anneal_ratio, 0...].
+    Returns (sdf, alpha, cdf (P,1), grad (P,3), inside (P,1),
+             rgb (P, 3|6), eik (1, LANE) = [num, den])."""
+    ro, rd = rays
+    return _run_fwd(spec, weights["s"], weights["c"], ro, rd, z, dists, sc)
 
 
-def _fused_core_fwd(weights, pts, dirs, dists, sc, spec):
-    out = _fused_core(weights, pts, dirs, dists, sc, spec)
-    return out, (weights, pts, dirs, dists, sc)
+def _fused_core_fwd(weights, rays, z, dists, sc, spec):
+    out = _fused_core(weights, rays, z, dists, sc, spec)
+    return out, (weights, rays, z, dists, sc)
 
 
 def _fused_core_bwd(spec, res, cots):
-    weights, pts, dirs, dists, sc = res
-    cpack, crgb, ceik = cots
-    dx, dd, dt, dsc, d_s, d_c = _run_bwd(
-        spec, weights["s"], weights["c"], pts, dirs, dists, sc,
-        cpack, crgb, ceik,
+    weights, rays, z, dists, sc = res
+    ro, rd = rays
+    do, dd, dz, dt, dsc, d_s, d_c = _run_bwd(
+        spec, weights["s"], weights["c"], ro, rd, z, dists, sc, cots
     )
     # duplicated sdf-head forms receive zero; full head grad rides the row
     # forms and dense_weights' VJP sums every copy's contribution
     d_s["ws_a"] = jnp.zeros_like(weights["s"]["ws_a"])
     d_s["ws_e"] = jnp.zeros_like(weights["s"]["ws_e"])
-    return {"s": d_s, "c": d_c}, dx, dd, dt, dsc
+    return {"s": d_s, "c": d_c}, (do, dd), dz, dt, dsc
 
 
 _fused_core.defvjp(_fused_core_fwd, _fused_core_bwd)
@@ -606,17 +666,20 @@ _fused_core.defvjp(_fused_core_fwd, _fused_core_bwd)
 
 def point_eval_fused(
     sdf_params, sdf_cfg, color_params, color_cfg,
-    pts, dirs, dists, inv_s, cos_anneal_ratio,
+    rays_o, rays_d, mid_z, dists, inv_s, cos_anneal_ratio,
 ):
-    """The whole NeuS per-point pipeline as one fused op.
+    """The whole NeuS per-point pipeline as one fused op, ray-blocked.
 
-    Args are flat per-point arrays: pts/dirs (P, 3), dists (P,). Returns
-    (sdf (P,1), gradients (P,3), rgb (P, 6 or 3), alpha (P,), cdf (P,),
-    inside_sphere (P,), gradient_error scalar). Caller guarantees the
-    configs are supported (spec_from_configs is not None)."""
-    P = pts.shape[0]
-    spec = spec_from_configs(sdf_cfg, color_cfg, P)
-    s_weights = fused_sdf.dense_weights(sdf_params, fused_sdf.spec_from_config(sdf_cfg))
+    rays_o/rays_d (R, 3); mid_z/dists (R, S). Returns flat per-point
+    (sdf (P,1), gradients (P,3), rgb (P, 3|6), alpha (P,), cdf (P,),
+    inside_sphere (P,), gradient_error scalar) with P = R*S. Caller
+    guarantees the configs are supported (spec_from_configs not None)."""
+    R, S = mid_z.shape
+    P = R * S
+    spec = spec_from_configs(sdf_cfg, color_cfg, P, S)
+    s_weights = fused_sdf.dense_weights(
+        sdf_params, fused_sdf.spec_from_config(sdf_cfg)
+    )
     c_weights = fused_color.dense_weights(
         color_params, fused_color.spec_from_config(color_cfg)
     )
@@ -624,26 +687,25 @@ def point_eval_fused(
     sc = sc.at[0, 0].set(inv_s).at[0, 1].set(
         jnp.asarray(cos_anneal_ratio, jnp.float32)
     )
-    dists8 = jnp.concatenate(
-        [dists.reshape(P, 1), jnp.zeros((P, 7), jnp.float32)], axis=1
+    z = mid_z.reshape(P, 1)
+    t = dists.reshape(P, 1)
+    ro = rays_o.astype(jnp.float32)
+    rd = rays_d.astype(jnp.float32)
+    rpad = (-R) % spec.rays_per_block
+    if rpad:
+        zr3 = jnp.zeros((rpad, 3), jnp.float32)
+        ro = jnp.concatenate([ro, zr3], 0)
+        rd = jnp.concatenate([rd, zr3], 0)
+        zp = jnp.zeros((rpad * S, 1), jnp.float32)
+        z = jnp.concatenate([z, zp], 0)
+        t = jnp.concatenate([t, zp], 0)
+    sdf, alpha, cdf, grad, inside, rgb, eik = _fused_core(
+        {"s": s_weights, "c": c_weights}, (ro, rd), z, t, sc, spec
     )
-    pad = (-P) % BLOCK
-    if pad:
-        z3 = jnp.zeros((pad, 3), jnp.float32)
-        pts = jnp.concatenate([pts, z3], 0)
-        dirs = jnp.concatenate([dirs, z3], 0)
-        dists8 = jnp.concatenate([dists8, jnp.zeros((pad, 8), jnp.float32)], 0)
-    pack, rgb, eik = _fused_core(
-        {"s": s_weights, "c": c_weights},
-        pts.astype(jnp.float32), dirs.astype(jnp.float32), dists8, sc, spec,
-    )
-    if pad:
-        pack, rgb = pack[:P], rgb[:P]
-    sdf = pack[:, 0:1]
-    alpha = pack[:, 1]
-    cdf = pack[:, 2]
-    gradients = pack[:, 3:6]
-    inside = pack[:, 6]
+    if rpad:
+        sdf, alpha, cdf = sdf[:P], alpha[:P], cdf[:P]
+        grad, inside, rgb = grad[:P], inside[:P], rgb[:P]
     gradient_error = eik[0, 0] / (eik[0, 1] + 1e-5)
-    rgb_out = rgb[:, :6] if color_cfg.extra_color else rgb[:, :3]
-    return sdf, gradients, rgb_out, alpha, cdf, inside, gradient_error
+    return (
+        sdf, grad, rgb, alpha[:, 0], cdf[:, 0], inside[:, 0], gradient_error
+    )

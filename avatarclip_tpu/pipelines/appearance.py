@@ -630,10 +630,13 @@ class Runner:
                 )
                 ws = out["weight_sum"].reshape(-1)
 
-                # relight (main.py:426-453)
-                normals = (
-                    out["gradients"] * out["weights"][:, :n_total, None]
-                ).sum(axis=1)
+                # relight (main.py:426-453); the fused compositing kernel
+                # already produced the weighted normal sum when active
+                normals = out.get("normals_weighted")
+                if normals is None:
+                    normals = (
+                        out["gradients"] * out["weights"][:, :n_total, None]
+                    ).sum(axis=1)
                 normals = normals / (
                     jnp.linalg.norm(normals, axis=-1, keepdims=True) + 1e-7
                 )

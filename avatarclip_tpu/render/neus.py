@@ -294,8 +294,6 @@ def render_core(
         [dists, jnp.full_like(dists[..., :1], sample_dist)], axis=-1
     )
     mid_z = z_vals + dists * 0.5
-    pts = (rays_o[:, None, :] + rays_d[:, None, :] * mid_z[..., None]).reshape(-1, 3)
-    dirs = jnp.broadcast_to(rays_d[:, None, :], (R, S, 3)).reshape(-1, 3)
 
     inv_s = jnp.clip(nets.variance_inv_s(params["variance"]), 1e-6, 1e6)
 
@@ -316,13 +314,18 @@ def render_core(
     if use_mega:
         from ..ops import fused_neus
 
-        if fused_neus.spec_from_configs(cfgs.sdf, cfgs.color, pts.shape[0]) is None:
+        if fused_neus.spec_from_configs(
+            cfgs.sdf, cfgs.color, R * S, S
+        ) is None:
             use_mega = False
     if use_mega:
         return _render_core_fused(
-            params, cfg, cfgs, pts, dirs, dists, mid_z, inv_s,
+            params, cfg, cfgs, rays_o, rays_d, mid_z, dists, inv_s,
             cos_anneal_ratio, background_rgb, R, S,
         )
+
+    pts = (rays_o[:, None, :] + rays_d[:, None, :] * mid_z[..., None]).reshape(-1, 3)
+    dirs = jnp.broadcast_to(rays_d[:, None, :], (R, S, 3)).reshape(-1, 3)
 
     sdf, feature, gradients = nets.sdf_with_gradient(params["sdf"], cfgs.sdf, pts)
 
@@ -410,41 +413,32 @@ def render_core(
 
 
 def _render_core_fused(
-    params, cfg, cfgs, pts, dirs, dists, mid_z, inv_s,
+    params, cfg, cfgs, rays_o, rays_d, mid_z, dists, inv_s,
     cos_anneal_ratio, background_rgb, R: int, S: int,
 ):
     """render_core's tail when the fused NeuS point kernel carries the
     per-point pipeline: only the per-ray compositing (cumprod, weighted
     sums — renderer.py:250-266) stays in XLA."""
-    from ..ops import fused_neus
+    from ..ops import fused_composite, fused_neus
 
     sdf, gradients, raw_color, alpha_f, cdf_f, inside_f, gradient_error = (
         fused_neus.point_eval_fused(
             params["sdf"], cfgs.sdf, params["color"], cfgs.color,
-            pts, dirs, dists.reshape(-1), inv_s, cos_anneal_ratio,
+            rays_o, rays_d, mid_z, dists, inv_s, cos_anneal_ratio,
         )
     )
-    if cfg.extra_color:
-        raw_color = raw_color.reshape(R, S, 6)
-        sampled_color = raw_color[..., :3]
-        extra_sampled_color = raw_color[..., 3:]
-    else:
-        sampled_color = raw_color.reshape(R, S, 3)
-        extra_sampled_color = None
     alpha = alpha_f.reshape(R, S)
     inside_sphere = jax.lax.stop_gradient(inside_f.reshape(R, S))
+    gradients = gradients.reshape(R, S, 3)
 
-    trans = jnp.cumprod(
-        jnp.concatenate([jnp.ones((R, 1)), 1.0 - alpha + 1e-7], -1), -1
-    )[:, :-1]
-    weights = alpha * trans
-    weights_sum = jnp.sum(weights, axis=-1, keepdims=True)
-
-    color = jnp.sum(sampled_color * weights[..., None], axis=1)
-    if cfg.extra_color:
-        extra_color = jnp.sum(extra_sampled_color * weights[..., None], axis=1)
-    else:
+    # per-ray compositing kernel: cumprod + the three weighted reductions
+    # in VMEM (ops/fused_composite.py)
+    weights, color, extra_color, normals_w = fused_composite.composite_fused(
+        alpha, raw_color.reshape(R, S, raw_color.shape[-1]), gradients
+    )
+    if not cfg.extra_color:
         extra_color = None
+    weights_sum = jnp.sum(weights, axis=-1, keepdims=True)
 
     if background_rgb is not None:
         if cfg.extra_color:
@@ -457,13 +451,16 @@ def _render_core_fused(
         "extra_color": extra_color,
         "sdf": sdf,
         "dists": dists,
-        "gradients": gradients.reshape(R, S, 3),
+        "gradients": gradients,
         "s_val": 1.0 / inv_s,
         "mid_z_vals": mid_z,
         "weights": weights,
         "cdf": cdf_f.reshape(R, S),
         "gradient_error": gradient_error,
         "inside_sphere": inside_sphere,
+        # un-normalized weighted normal sum (main.py:426-428) computed by
+        # the compositing kernel; the appearance loss uses it when present
+        "normals_weighted": normals_w,
     }
 
 
@@ -585,6 +582,7 @@ def render(
         "mid_z_vals": ret["mid_z_vals"],
         "gradient_error": ret["gradient_error"],
         "inside_sphere": ret["inside_sphere"],
+        "normals_weighted": ret.get("normals_weighted"),
     }
 
 

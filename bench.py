@@ -88,13 +88,16 @@ def main():
                 from avatarclip_tpu.ops import fused_neus
 
                 cfgs = runner.cfgs
-                P = R * (runner.ncfg.n_samples + runner.ncfg.n_importance)
+                n_total = runner.ncfg.n_samples + runner.ncfg.n_importance
+                P = R * n_total
                 if (
                     cfgs.sdf.use_pallas
                     and cfgs.color.use_pallas
                     and cfgs.sdf.d_hidden >= 256
                 ):
-                    spec = fused_neus.spec_from_configs(cfgs.sdf, cfgs.color, P)
+                    spec = fused_neus.spec_from_configs(
+                        cfgs.sdf, cfgs.color, P, n_total
+                    )
                     if spec is not None:
                         flops += P * sum(
                             fused_neus.kernel_flops_per_point(spec)

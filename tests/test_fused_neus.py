@@ -74,6 +74,12 @@ def test_forward_matches_pure(setup, monkeypatch):
             np.asarray(out_f[key]), np.asarray(out_p[key]),
             atol=2e-5, rtol=1e-4, err_msg=key,
         )
+    # the compositing kernel's weighted normal sum vs the loss formula
+    nw = (out_p["gradients"] * out_p["weights"][..., None]).sum(axis=1)
+    np.testing.assert_allclose(
+        np.asarray(out_f["normals_weighted"]), np.asarray(nw),
+        atol=2e-5, rtol=1e-4,
+    )
 
 
 def test_vjp_matches_pure(setup, monkeypatch):
@@ -87,12 +93,16 @@ def test_vjp_matches_pure(setup, monkeypatch):
         def f(p, ro, rd, zv):
             out = _core(p, cfg, cfgs, ro, rd, zv, force)
             extra = out["extra_color"]
+            nw = out.get("normals_weighted")
+            if nw is None:
+                nw = (out["gradients"] * out["weights"][..., None]).sum(1)
             l = (
                 jnp.sum(out["color"] * probes[0])
                 + jnp.sum(out["weights"] * probes[1])
                 + jnp.sum(out["gradients"] * probes[2]) * 1e-2
                 + jnp.sum(out["sdf"]) * probes[3] * 1e-2
                 + out["gradient_error"]
+                + jnp.sum(nw * probes[1]) * 1e-2
             )
             if extra is not None:
                 l = l + jnp.sum(extra * probes[0])
