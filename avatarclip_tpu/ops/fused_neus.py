@@ -523,9 +523,31 @@ def _acc(shape):
     return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
 
 
+# 2-D weight matrices only ever feed MXU dots — pre-cast them to the
+# operand dtype ONCE outside the kernel instead of per grid step (the
+# per-block f32->bf16 converts of ~10 weight matrices cost real VPU time
+# across 1.5k blocks). Biases and the sdf-head row forms stay f32 (they
+# enter f32 elementwise math). The in-kernel astype is a no-op for
+# already-bf16 operands, so the kernel code is unchanged.
+def _matrix_names(spec: FusedNeuSSpec):
+    sm = {f"w{i}" for i in range(spec.sdf.n_hidden)}
+    sm |= {"wskip", "wf_a", "wf_e"}
+    cm = {"wx", "wn", "wv", "wf", "whead"}
+    cm |= {f"w{i}" for i in range(1, spec.color.n_hidden)}
+    return sm, cm
+
+
 def _weight_args(spec: FusedNeuSSpec, s_weights, c_weights):
-    args = [s_weights[nm] for nm in _sdf_w_names(spec.sdf)]
-    args += [c_weights[nm] for nm in fused_color._name_list(spec.color)]
+    dt = fused_sdf._OPERAND_DTYPE
+    sm, cm = _matrix_names(spec)
+    args = [
+        s_weights[nm].astype(dt) if nm in sm else s_weights[nm]
+        for nm in _sdf_w_names(spec.sdf)
+    ]
+    args += [
+        c_weights[nm].astype(dt) if nm in cm else c_weights[nm]
+        for nm in fused_color._name_list(spec.color)
+    ]
     return args
 
 
