@@ -568,7 +568,7 @@ def render(
     )
 
     weights = ret["weights"]
-    return {
+    out = {
         "color_fine": ret["color"],
         "extra_color_fine": ret["extra_color"],
         "s_val": jnp.broadcast_to(
@@ -582,8 +582,11 @@ def render(
         "mid_z_vals": ret["mid_z_vals"],
         "gradient_error": ret["gradient_error"],
         "inside_sphere": ret["inside_sphere"],
-        "normals_weighted": ret.get("normals_weighted"),
     }
+    # present only on the fused path (consumers use out.get(...))
+    if ret.get("normals_weighted") is not None:
+        out["normals_weighted"] = ret["normals_weighted"]
+    return out
 
 
 def extract_fields_fn(params, cfgs: NetConfigs):
