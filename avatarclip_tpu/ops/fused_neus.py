@@ -62,8 +62,10 @@ from .fused_sdf import (
 
 # Points per grid step are spec-derived: rays_per_block must be a multiple
 # of 8 (Mosaic sublane constraint on the (Rb, 3) ray blocks) and the block
-# targets ~512 points to keep the MXU dots well-shaped.
-_TARGET_BLOCK = 512
+# targets ~1024 points to keep the MXU dots well-shaped (measured: 512
+# -> 1024 gave +0.6% on the full step; larger blocks amortize per-block
+# overhead without pressuring VMEM).
+_TARGET_BLOCK = 1024
 
 
 def _dot(a, b):
