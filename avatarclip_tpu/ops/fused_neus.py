@@ -95,7 +95,6 @@ def _dotB(a, b):
 class FusedNeuSSpec:
     sdf: fused_sdf.FusedSDFSpec
     color: fused_color.FusedColorSpec
-    n_valid: int  # true point count before ray padding
     samples: int  # samples per ray
 
     @property
@@ -107,9 +106,7 @@ class FusedNeuSSpec:
         return self.rays_per_block * self.samples
 
 
-def spec_from_configs(
-    sdf_cfg, color_cfg, n_valid: int, samples: int
-) -> FusedNeuSSpec | None:
+def spec_from_configs(sdf_cfg, color_cfg, samples: int) -> FusedNeuSSpec | None:
     s = fused_sdf.spec_from_config(sdf_cfg)
     c = fused_color.spec_from_config(color_cfg)
     if s is None or c is None:
@@ -118,7 +115,7 @@ def spec_from_configs(
         return None
     if samples < 1:
         return None
-    return FusedNeuSSpec(sdf=s, color=c, n_valid=n_valid, samples=samples)
+    return FusedNeuSSpec(sdf=s, color=c, samples=samples)
 
 
 # ---------------------------------------------------------------------------
@@ -228,13 +225,6 @@ def _sdf_forward_states(spec, named, x_raw, consts):
     }
 
 
-def _valid_mask(n_valid: int, B: int):
-    idx = pl.program_id(0) * B + jax.lax.broadcasted_iota(
-        jnp.int32, (B, 1), 0
-    )
-    return (idx < n_valid).astype(jnp.float32)
-
-
 def _block_points(spec: FusedNeuSSpec, o_ref, d_ref, z_ref):
     """rays (Rb, 3) + flat z (B, 1) -> per-point (pts, dirs) in VMEM."""
     Rb, S = spec.rays_per_block, spec.samples
@@ -275,9 +265,11 @@ def _fwd_kernel(spec: FusedNeuSSpec, *refs):
     alpha, cdf = _alpha_chain(st["sdf"], st["g"], dirs, dist, inv_s, r)
 
     pts_norm = jnp.sqrt(jnp.sum(x_raw * x_raw, axis=-1, keepdims=True))
-    valid = _valid_mask(spec.n_valid, x_raw.shape[0])
     inside = (pts_norm < 1.0).astype(jnp.float32)
-    relax = (pts_norm < 1.2).astype(jnp.float32) * valid
+    # padded rays sit at |pts| = 10 (point_eval_fused), outside the relax
+    # sphere — no explicit validity mask needed, and the same expression is
+    # shard-local under shard_map
+    relax = (pts_norm < 1.2).astype(jnp.float32)
 
     num, den = _eik_terms(st["g"], relax)
     lane = jax.lax.broadcasted_iota(jnp.int32, eik_ref.shape, 1)
@@ -404,8 +396,7 @@ def _bwd_kernel(spec: FusedNeuSSpec, *refs):
     cs_a, cg_a, cd_a, ct_a, civs = vjp_a((c_alpha, c_cdf))
 
     pts_norm = jnp.sqrt(jnp.sum(x_raw * x_raw, axis=-1, keepdims=True))
-    valid = _valid_mask(spec.n_valid, B)
-    relax = (pts_norm < 1.2).astype(jnp.float32) * valid
+    relax = (pts_norm < 1.2).astype(jnp.float32)
 
     def eik_num(g_):
         n, _ = _eik_terms(g_, relax)
@@ -697,10 +688,15 @@ def point_eval_fused(
     rays_o/rays_d (R, 3); mid_z/dists (R, S). Returns flat per-point
     (sdf (P,1), gradients (P,3), rgb (P, 3|6), alpha (P,), cdf (P,),
     inside_sphere (P,), gradient_error scalar) with P = R*S. Caller
-    guarantees the configs are supported (spec_from_configs not None)."""
+    guarantees the configs are supported (spec_from_configs not None).
+
+    Multi-device: when the active data mesh has >1 device and the (padded)
+    ray count divides across it, the kernel pair runs under shard_map —
+    each device executes its own pallas_call on its ray shard, the eikonal
+    partial sums are psum'd over the mesh, and shard_map's AD inserts the
+    weight-gradient psum automatically (replicated-input transpose)."""
     R, S = mid_z.shape
-    P = R * S
-    spec = spec_from_configs(sdf_cfg, color_cfg, P, S)
+    spec = spec_from_configs(sdf_cfg, color_cfg, S)
     s_weights = fused_sdf.dense_weights(
         sdf_params, fused_sdf.spec_from_config(sdf_cfg)
     )
@@ -711,21 +707,50 @@ def point_eval_fused(
     sc = sc.at[0, 0].set(inv_s).at[0, 1].set(
         jnp.asarray(cos_anneal_ratio, jnp.float32)
     )
+    from ..parallel import mesh as pmesh
+
+    mesh = pmesh.data_mesh()
+    n_dev = mesh.size
+    granule = spec.rays_per_block * (n_dev if n_dev > 1 else 1)
+    P = R * S
     z = mid_z.reshape(P, 1)
     t = dists.reshape(P, 1)
     ro = rays_o.astype(jnp.float32)
     rd = rays_d.astype(jnp.float32)
-    rpad = (-R) % spec.rays_per_block
+    rpad = (-R) % granule
     if rpad:
-        zr3 = jnp.zeros((rpad, 3), jnp.float32)
-        ro = jnp.concatenate([ro, zr3], 0)
-        rd = jnp.concatenate([rd, zr3], 0)
+        # padded rays sit far outside the relax sphere (|o| = 10): their
+        # eikonal contribution is exactly zero and, with zero cotangents on
+        # their (sliced-off) outputs, the whole reverse pass through them
+        # is linear in zero — no validity mask needed
+        pad_o = jnp.zeros((rpad, 3), jnp.float32).at[:, 0].set(10.0)
+        ro = jnp.concatenate([ro, pad_o], 0)
+        rd = jnp.concatenate([rd, jnp.zeros((rpad, 3), jnp.float32)], 0)
         zp = jnp.zeros((rpad * S, 1), jnp.float32)
         z = jnp.concatenate([z, zp], 0)
         t = jnp.concatenate([t, zp], 0)
-    sdf, alpha, cdf, grad, inside, rgb, eik = _fused_core(
-        {"s": s_weights, "c": c_weights}, (ro, rd), z, t, sc, spec
-    )
+    weights = {"s": s_weights, "c": c_weights}
+    if n_dev > 1:
+        from jax.sharding import PartitionSpec as PS
+
+        def mapped(w, ro_, rd_, z_, t_, sc_):
+            out = _fused_core(w, (ro_, rd_), z_, t_, sc_, spec)
+            sdf_, alpha_, cdf_, grad_, inside_, rgb_, eik_ = out
+            eik_ = jax.lax.psum(eik_, "data")
+            return sdf_, alpha_, cdf_, grad_, inside_, rgb_, eik_
+
+        sdf, alpha, cdf, grad, inside, rgb, eik = jax.shard_map(
+            mapped, mesh=mesh,
+            in_specs=(PS(), PS("data"), PS("data"), PS("data"), PS("data"),
+                      PS()),
+            out_specs=(PS("data"),) * 6 + (PS(),),
+            # pallas_call's out_shapes carry no varying-mesh-axes info
+            check_vma=False,
+        )(weights, ro, rd, z, t, sc)
+    else:
+        sdf, alpha, cdf, grad, inside, rgb, eik = _fused_core(
+            weights, (ro, rd), z, t, sc, spec
+        )
     if rpad:
         sdf, alpha, cdf = sdf[:P], alpha[:P], cdf[:P]
         grad, inside, rgb = grad[:P], inside[:P], rgb[:P]

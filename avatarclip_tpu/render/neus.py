@@ -304,27 +304,20 @@ def render_core(
     if _FORCE_MEGA is not None:  # test hook (interpret-mode parity oracles)
         use_mega = _FORCE_MEGA and background_alpha is None
     else:
-        from ..parallel import mesh as pmesh
-
-        # multi-chip gate: XLA cannot partition a pallas_call custom-call
-        # over a >1-device mesh — it would insert all-gathers around the
-        # kernel and serialize the step. The pure XLA path partitions
-        # cleanly (SURVEY.md §2.4 data sharding), so it carries multi-chip;
-        # kernel-aware sharding via shard_map is future work.
+        # under a >1-device data mesh, point_eval_fused runs the kernel
+        # pair per-shard via shard_map (XLA cannot partition a raw
+        # pallas_call custom-call itself)
         use_mega = (
             cfgs.sdf.use_pallas
             and cfgs.color.use_pallas
             and background_alpha is None
             and cfgs.sdf.d_hidden >= 256
             and jax.default_backend() == "tpu"
-            and pmesh.data_mesh().size == 1
         )
     if use_mega:
         from ..ops import fused_neus
 
-        if fused_neus.spec_from_configs(
-            cfgs.sdf, cfgs.color, R * S, S
-        ) is None:
+        if fused_neus.spec_from_configs(cfgs.sdf, cfgs.color, S) is None:
             use_mega = False
     if use_mega:
         return _render_core_fused(

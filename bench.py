@@ -96,7 +96,7 @@ def main():
                     and cfgs.sdf.d_hidden >= 256
                 ):
                     spec = fused_neus.spec_from_configs(
-                        cfgs.sdf, cfgs.color, P, n_total
+                        cfgs.sdf, cfgs.color, n_total
                     )
                     if spec is not None:
                         flops += P * sum(

@@ -139,6 +139,46 @@ def test_bf16_close(setup):
     )
 
 
+def test_kernel_path_1_vs_8_device_mesh(setup, monkeypatch):
+    """The megakernel's shard_map path (>1-device mesh: per-shard
+    pallas_call, eikonal psum, weight-grad psum via shard_map AD) must
+    match the single-device kernel path exactly — SURVEY §4's 1-vs-N
+    prescription applied to the kernel pipeline."""
+    import numpy as _np
+    from jax.sharding import Mesh
+
+    from avatarclip_tpu.parallel import mesh as pmesh
+
+    monkeypatch.setattr(fused_sdf, "_OPERAND_DTYPE", jnp.float32)
+    cfg, cfgs, params, rays_o, rays_d, z_vals = setup
+    devs = jax.devices()
+    assert len(devs) >= 8
+
+    def grads_on(n_dev):
+        pmesh.set_default_mesh(Mesh(_np.array(devs[:n_dev]), ("data",)))
+        try:
+
+            def loss(p, ro, rd, zv):
+                out = _core(p, cfg, cfgs, ro, rd, zv, True)
+                l = jnp.sum(out["color"]) + out["gradient_error"]
+                if out["extra_color"] is not None:
+                    l = l + jnp.sum(out["extra_color"])
+                return l
+
+            return jax.grad(loss)(params, rays_o, rays_d, z_vals)
+        finally:
+            pmesh.set_default_mesh(None)
+
+    g1 = grads_on(1)
+    g8 = grads_on(8)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g8)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
+        )
+
+
 def test_full_render_with_upsampling(setup, monkeypatch):
     """The megakernel inside the complete hierarchical render()."""
     monkeypatch.setattr(fused_sdf, "_OPERAND_DTYPE", jnp.float32)
