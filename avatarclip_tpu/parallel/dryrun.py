@@ -160,11 +160,80 @@ def run(n_devices: int) -> None:
         finally:
             pmesh.set_default_mesh(None)
 
+    _kernel_path_1_vs_n(n_devices)
+
     print(
         f"dryrun_multichip({n_devices}): OK — clip+photometric steps ran on a "
         f"{n_devices}-device mesh, replicas agree, 1-vs-{n_devices} device "
-        f"params/metrics allclose"
+        f"params/metrics allclose (XLA path and sharded Pallas kernel path)"
     )
+
+
+def _kernel_path_1_vs_n(n_devices: int) -> None:
+    """1-vs-N gradient equality through the Pallas megakernel's shard_map
+    path (interpret mode on the virtual CPU mesh): per-shard pallas_call,
+    eikonal psum, weight-grad psum via shard_map AD."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from avatarclip_tpu.fields import networks as nets
+    from avatarclip_tpu.render import neus
+    from . import mesh as pmesh
+
+    sdf_cfg = nets.SDFConfig(
+        d_out=257, d_hidden=256, n_layers=4, skip_in=(4,), multires=6
+    )
+    col_cfg = nets.ColorConfig(
+        d_feature=256, d_hidden=256, n_layers=2, mode="no_view_dir",
+        extra_color=True,
+    )
+    cfgs = neus.NetConfigs(sdf=sdf_cfg, color=col_cfg)
+    ncfg = neus.NeuSConfig(
+        n_samples=8, n_importance=0, up_sample_steps=0, perturb=0.0,
+        extra_color=True,
+    )
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    params = {
+        "sdf": nets.sdf_init(k1, sdf_cfg),
+        "color": nets.color_init(k2, col_cfg),
+        "variance": nets.variance_init(0.3),
+    }
+    R = 16
+    rays_o = jnp.tile(jnp.array([[0.0, 0.0, -2.0]]), (R, 1))
+    t = jnp.linspace(-0.2, 0.2, R)
+    rays_d = jnp.stack([t, jnp.zeros(R), jnp.ones(R)], axis=-1)
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    z_vals = jnp.linspace(1.0, 3.0, ncfg.n_samples)[None, :].repeat(R, 0)
+
+    def loss(p):
+        out = neus.render_core(
+            p, ncfg, cfgs, rays_o, rays_d, z_vals,
+            sample_dist=2.0 / ncfg.n_samples, cos_anneal_ratio=0.5,
+        )
+        return (
+            jnp.sum(out["color"]) + jnp.sum(out["extra_color"])
+            + out["gradient_error"]
+        )
+
+    neus._FORCE_MEGA = True
+    try:
+        grads = {}
+        for n in (1, n_devices):
+            pmesh.set_default_mesh(pmesh.data_mesh(n))
+            try:
+                grads[n] = jax.grad(loss)(params)
+            finally:
+                pmesh.set_default_mesh(None)
+    finally:
+        neus._FORCE_MEGA = None
+    for a, b in zip(
+        jax.tree_util.tree_leaves(grads[1]),
+        jax.tree_util.tree_leaves(grads[n_devices]),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
 
 
 def main(argv=None) -> int:
