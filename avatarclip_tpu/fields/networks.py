@@ -177,6 +177,13 @@ def sdf_apply(
 
 
 def sdf_value(params: Params, cfg: SDFConfig, pts: jnp.ndarray) -> jnp.ndarray:
+    """sdf-only evaluation (importance sweeps, marching-cubes grids).
+
+    Stays on the XLA path by measurement: routing the sweeps through the
+    lean forward-only kernel (ops/fused_sdf.sdf_value_fused) REGRESSED the
+    full step 172k -> 158k rays/s — the sliced-matmul XLA sweep fuses into
+    the surrounding up-sample alpha math, and the kernel boundary breaks
+    those fusions (docs/PROFILE.md round-2 negative results)."""
     return sdf_apply(params, cfg, pts, sdf_only=True)
 
 

@@ -567,6 +567,156 @@ def _run_bwd(spec: FusedSDFSpec, weights: dict, pts, cs, cg, cf):
     return dx, d_weights
 
 
+# ---------------------------------------------------------------------------
+# sdf-only forward kernel (importance-sampling sweeps, grid extraction)
+# ---------------------------------------------------------------------------
+#
+# The NeuS up-sampling loop evaluates the sdf (no gradient, no feature,
+# under stop_gradient) at ~800k points per step across five sweeps; after
+# the megakernel took over render_core, these sweeps were the last ~6 ms of
+# XLA MLP streams in the trace. This kernel runs just the stack + scalar
+# head per block. Differentiation falls back to an equivalent pure-XLA
+# dense-weight forward (the sweeps never differentiate, so that path is a
+# correctness guard, not a hot path).
+
+SDF_ONLY_BLOCK = 1024
+
+
+def _sdf_only_names(spec: FusedSDFSpec):
+    names = []
+    for i in range(spec.n_hidden):
+        names += [f"w{i}", f"b{i}"]
+    names += ["wskip", "bskip", "wsa_row", "wse_row", "bs"]
+    return names
+
+
+def _sdf_only_kernel(spec: FusedSDFSpec, *refs):
+    x_ref = refs[0]
+    comp, oneh, freq, sinsel, cossel = [r[...] for r in refs[1:6]]
+    names = _sdf_only_names(spec)
+    named = dict(zip(names, refs[6 : 6 + len(names)]))
+    out_ref = refs[6 + len(names)]
+
+    x = x_ref[...] * spec.scale
+    xe = _dot_f32(x, comp)
+    tr = freq * xe
+    e = oneh * xe + sinsel * jnp.sin(tr) + cossel * jnp.cos(tr)
+    h = e
+    for i in range(spec.n_hidden):
+        h = _sp(_dot(h, named[f"w{i}"][...]) + named[f"b{i}"][...])
+    z_s = _dot(h, named["wskip"][...]) + named["bskip"][...]
+    col = jax.lax.broadcasted_iota(jnp.int32, z_s.shape, 1)
+    smask = (col < spec.skip_width).astype(jnp.float32)
+    a_s = _sp(z_s) * smask
+    s = (
+        jnp.sum(a_s * named["wsa_row"][...], axis=1, keepdims=True)
+        + jnp.sum(e * named["wse_row"][...], axis=1, keepdims=True)
+        + named["bs"][...][:, 0:1]
+    )
+    out_ref[...] = s / spec.scale
+
+
+def _dense_sdf_only(weights, pts, spec: FusedSDFSpec):
+    """Pure-XLA twin of _sdf_only_kernel at the dense-weight level — the
+    differentiable fallback for the custom VJP."""
+    consts = [jnp.asarray(c) for c in _pe_constants(spec)]
+    comp, oneh, freq, sinsel, cossel = consts
+    x = pts * spec.scale
+    xe = x @ comp
+    tr = freq * xe
+    e = oneh * xe + sinsel * jnp.sin(tr) + cossel * jnp.cos(tr)
+    h = e
+    dt = _OPERAND_DTYPE
+    for i in range(spec.n_hidden):
+        z = (
+            jnp.dot(h.astype(dt), weights[f"w{i}"].astype(dt),
+                    preferred_element_type=jnp.float32)
+            + weights[f"b{i}"]
+        )
+        h = _sp(z)
+    z_s = (
+        jnp.dot(h.astype(dt), weights["wskip"].astype(dt),
+                preferred_element_type=jnp.float32)
+        + weights["bskip"]
+    )
+    smask = (jnp.arange(z_s.shape[1])[None, :] < spec.skip_width).astype(
+        jnp.float32
+    )
+    a_s = _sp(z_s) * smask
+    s = (
+        jnp.sum(a_s * weights["wsa_row"], axis=1, keepdims=True)
+        + jnp.sum(e * weights["wse_row"], axis=1, keepdims=True)
+        + weights["bs"][:, 0:1]
+    )
+    return s / spec.scale
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _sdf_only_core(weights, pts, spec):
+    P = pts.shape[0]
+    consts = [jnp.asarray(c) for c in _pe_constants(spec)]
+    names = _sdf_only_names(spec)
+    dt = _OPERAND_DTYPE
+    mats = {f"w{i}" for i in range(spec.n_hidden)} | {"wskip"}
+    w_args = [
+        weights[nm].astype(dt) if nm in mats else weights[nm] for nm in names
+    ]
+
+    def full(a):
+        return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_sdf_only_kernel, spec),
+        grid=(P // SDF_ONLY_BLOCK,),
+        in_specs=[
+            pl.BlockSpec((SDF_ONLY_BLOCK, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+        ]
+        + [full(c) for c in consts]
+        + [full(w) for w in w_args],
+        out_specs=pl.BlockSpec((SDF_ONLY_BLOCK, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((P, 1), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(pts, *consts, *w_args)
+
+
+def _sdf_only_fwd(weights, pts, spec):
+    return _sdf_only_core(weights, pts, spec), (weights, pts)
+
+
+def _sdf_only_bwd(spec, res, cot):
+    weights, pts = res
+    sub = {nm: weights[nm] for nm in _sdf_only_names(spec)}
+    _, vjp = jax.vjp(lambda w, x: _dense_sdf_only(w, x, spec), sub, pts)
+    dw, dx = vjp(cot)
+    return ({**{k: jnp.zeros_like(v) for k, v in weights.items()}, **dw}, dx)
+
+
+_sdf_only_core.defvjp(_sdf_only_fwd, _sdf_only_bwd)
+
+
+def sdf_value_fused(params, cfg, pts):
+    """sdf-only evaluation through the lean forward kernel; falls back to
+    the pure path (networks.sdf_apply sdf_only) off the supported family."""
+    spec = spec_from_config(cfg)
+    if spec is None:
+        from ..fields import networks as nets
+
+        return nets.sdf_apply(params, cfg, pts, sdf_only=True)
+    weights = dense_weights(params, spec)
+    P = pts.shape[0]
+    pad = (-P) % SDF_ONLY_BLOCK
+    if pad:
+        pts = jnp.concatenate([pts, jnp.zeros((pad, 3), pts.dtype)], 0)
+    out = _sdf_only_core(weights, pts.astype(jnp.float32), spec)
+    return out[:P] if pad else out
+
+
 def kernel_flops_per_point(spec: FusedSDFSpec) -> tuple[float, float]:
     """(forward, backward) matmul FLOPs per point, counting PADDED shapes —
     the MXU work actually issued. Used by bench.py's MFU estimate, since
