@@ -35,8 +35,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-PBLOCK = 1024  # pixels per tile
-FBLOCK = 512  # faces per tile
+PBLOCK = 2048  # pixels per tile
+FBLOCK = 1024  # faces per tile
 FID_BITS = 14  # supports F < 16384 per raster call after padding
 IZ_SCALE = 32768.0  # inv-depth quantization (2^15 steps per unit 1/z)
 IZ_MAX = float(2 ** (31 - FID_BITS) - 1)
@@ -124,6 +124,8 @@ def zbuffer_select(
         out_shape=jax.ShapeDtypeStruct((Pp, 1), jnp.int32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            # the (PBLOCK, FBLOCK) key tile exceeds the 25M default limit
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(c0, c1, c2, cz, vmask, pix)
