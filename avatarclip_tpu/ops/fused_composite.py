@@ -30,8 +30,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # NOTE: (Rb, S, 3|6) blocks lane-pad the channel dim to 128 in Mosaic, so
-# VMEM cost is ~21x the logical size — keep the ray block small enough for
-# the backward's vjp residuals (measured: 256 rays -> 99 MB, OOM at 73 MB)
+# VMEM cost is ~21x the logical size — keep the ray block small: measured
+# 256 rays -> 99 MB OOM; 128 rays fits but REGRESSED the full step 2%
+# (less grid-level pipelining overlap); 64 is the measured optimum
 RAY_BLOCK = 64
 
 
@@ -121,7 +122,7 @@ def _run_fwd(spec: CompositeSpec, alpha, rgb, grad):
             jax.ShapeDtypeStruct((Rp, 3), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024
+            vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=jax.default_backend() != "tpu",
     )(alpha, rgb, grad)
@@ -141,7 +142,7 @@ def _run_bwd(spec: CompositeSpec, alpha, rgb, grad, cots):
             jax.ShapeDtypeStruct((Rp, S, 3), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024
+            vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=jax.default_backend() != "tpu",
     )(alpha, rgb, grad, *cots)
