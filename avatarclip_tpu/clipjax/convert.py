@@ -231,13 +231,31 @@ def convert_checkpoint(src_path: str, dst_npz: str) -> None:
 
 
 def load_pretrained(path: str | None = None):
-    """Best-available CLIP params: npz on disk, else deterministic random."""
+    """Best-available CLIP params: npz on disk, else deterministic random.
+
+    Loading REAL weights without the real BPE vocab is a hard error: the
+    hashed-tokenizer fallback would feed garbage token ids into a real text
+    encoder and produce confidently wrong guidance with no warning at all
+    (the random-init warning only fires on the weights side). The two
+    fallbacks must degrade together.
+    """
     import jax
 
     from .. import assets
     from . import model as m
+    from . import tokenizer as tk
 
     p = path or assets.find("clip_vit_b32.npz")
     if p and p.endswith(".npz"):
+        if isinstance(tk.default_tokenizer(), tk.HashedTokenizer):
+            raise RuntimeError(
+                "Pretrained CLIP weights found at "
+                f"{p!r} but the BPE merges file "
+                "(bpe_simple_vocab_16e6.txt.gz) is not discoverable — the "
+                "hashed-tokenizer fallback would silently produce wrong "
+                "text embeddings against real weights. Place the vocab "
+                "next to the weights (or remove the weights to run with "
+                "the loud random-init fallback)."
+            )
         return load_npz(p), True
     return m.init_params(jax.random.PRNGKey(42)), False

@@ -16,9 +16,13 @@ no gradient), exactly like the XLA scan it replaces; the caller recomputes
 exact barycentrics and inverse depth for the winner from the differentiable
 coefficients, so gradients w.r.t. vertices are untouched.
 
-Precision: the selection key quantizes inv_z to 2^-15 (the XLA path uses
-2^-16 with an 11-bit local id); ties resolve toward the higher face id. The
-winner's depth/barycentrics are recomputed exactly afterwards either way.
+Precision: the selection key quantizes inv_z to 2^-13 over the same
+representable range as the XLA path (inv_z up to 16, i.e. depth >= 1/16 —
+with 17 value bits above the 14 face-id bits, IZ_SCALE = 2^13 gives
+IZ_MAX/IZ_SCALE = 131071/8192 ~= 16.0; the XLA path uses 2^-16 steps with
+an 11-bit local id and the same saturation point). Ties resolve toward the
+higher face id. The winner's depth/barycentrics are recomputed exactly
+afterwards either way.
 
 Used for the detached GT template renders (reference:
 AvatarGen/AppearanceGen/main.py:360 ``render_one_batch``) and every other
@@ -38,7 +42,13 @@ from jax.experimental.pallas import tpu as pltpu
 PBLOCK = 2048  # pixels per tile
 FBLOCK = 1024  # faces per tile
 FID_BITS = 14  # supports F < 16384 per raster call after padding
-IZ_SCALE = 32768.0  # inv-depth quantization (2^15 steps per unit 1/z)
+# inv-depth quantization: 2^13 steps per unit 1/z. With 31 - FID_BITS = 17
+# value bits this saturates at inv_z = (2^17 - 1) / 2^13 ~= 16.0 — the same
+# range as the XLA scan path, so cameras as close as depth 1/16 still order
+# correctly (the previous 2^15 scale clamped everything nearer than depth
+# 0.25 to IZ_MAX, degenerating the winner to highest-face-id for the face
+# camera at distance 0.4).
+IZ_SCALE = 8192.0
 IZ_MAX = float(2 ** (31 - FID_BITS) - 1)
 
 

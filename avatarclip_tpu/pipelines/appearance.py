@@ -559,13 +559,12 @@ class Runner:
                 pose, S, S, focal, sensor_h=SENSOR, sensor_w=SENSOR
             )
             if tc.use_silhouettes:
-                idx, dilated, sel = cameras.select_silhouette_rays(
+                idx, dilated, _ = cameras.select_silhouette_rays(
                     ks[2], mask_img > 0.5, R, dil_iters
                 )
             else:
                 idx = jnp.arange(R)
                 dilated = jnp.ones((S, S), bool)
-                sel = jnp.ones((S, S), bool)
             rays_o = rays_o_g.reshape(-1, 3)[idx]
             rays_d = rays_d_g.reshape(-1, 3)[idx]
             rays_o = pmesh.constrain_data(rays_o)
@@ -757,10 +756,14 @@ class Runner:
         TRUE dilated-mask coverage (dataset.py:252-260); computing that on
         device would cost a ~68ms host sync per step here, so instead we
         calibrate coverage(distance) by rasterizing the template from a small
-        grid of calibration cameras and interpolate at train time. The per-d
-        maximum over azimuths biases the estimate high, which biases the
-        chosen resolution low — toward spending extra rays outside the mask
-        rather than leaving unrendered holes inside the CLIP image."""
+        grid of calibration cameras and interpolate at train time. Per
+        distance the estimate is the MEAN over four calibration view
+        directions, so it is centered rather than conservative; the safety
+        mechanism for views whose true coverage exceeds the estimate is not
+        the calibration but the in-step fallback — on-body pixels beyond the
+        ray budget are filled with the GT template color (no
+        background-colored holes in the CLIP image), see `_pick_sil_bucket`
+        and the dense-scatter fill in the step."""
         tc, ds = self.tc, self.dataset
         template_v, template_f = self._template
         template_f = jnp.asarray(template_f)
@@ -960,7 +963,14 @@ class Runner:
         if it % tc.report_freq == 0:
             m = {k: float(v) for k, v in metrics.items()}
             lr = float(self.lr_schedule(it))
-            print(f"iter:{it:8d} loss = {m.get('loss', 0):.4f} lr={lr:.6f}")
+            # surface the guidance metrics (cosine = what CLIP measures) in
+            # the long-run console stream, not just the JSONL/tensorboard
+            extra = "".join(
+                f" {k}={m[k]:.4f}"
+                for k in ("cosine", "cosine_shading", "psnr")
+                if k in m
+            )
+            print(f"iter:{it:8d} loss = {m.get('loss', 0):.4f}{extra} lr={lr:.6f}")
         if it % tc.save_freq == 0:
             self.save_checkpoint()
         if it % tc.val_freq == 0:
@@ -1088,6 +1098,17 @@ class Runner:
     def validate_mesh(
         self, world_space: bool = False, resolution: int = 256, threshold: float = 0.0
     ):
+        """Extract + color-bake + export the mesh (main.py:850-919).
+
+        ``world_space`` note: the reference's own validate_mesh accepts this
+        argument but never reads it (main.py:850-919 has no world_space
+        branch — vestigial from upstream NeuS, where it maps vertices
+        through ``scale_mats_np[0]``). We restore the upstream-NeuS
+        semantics for datasets that actually carry scale mats (the legacy
+        IDR dataset): color baking runs in object space, then vertices are
+        mapped ``v * scale[0,0] + scale[:3,3]`` before export. The SMPL
+        dataset has no scale mats, so there the flag is a no-op — matching
+        the reference bit-for-bit on the flagship path."""
         params, cfgs = self.params, self.cfgs
 
         def query(pts):
@@ -1100,6 +1121,10 @@ class Runner:
         os.makedirs(os.path.join(self.base_exp_dir, "meshes"), exist_ok=True)
 
         rgb_final, diff_final = self._bake_vertex_colors(vertices)
+        scale_mats = getattr(self.dataset, "scale_mats_np", None)
+        if world_space and scale_mats is not None:
+            s = np.asarray(scale_mats[0], np.float32)
+            vertices = vertices * s[0, 0] + s[:3, 3][None]
         mesh_io.write_ply(
             os.path.join(
                 self.base_exp_dir, "meshes", f"{self.iter_step:08d}.ply"

@@ -205,6 +205,25 @@ def test_validate_mesh_extracts_sphere(runner):
     assert len(meshes) == 1
 
 
+def test_validate_mesh_world_space_scale_mat(runner):
+    """world_space maps vertices through scale_mats_np[0] (upstream-NeuS
+    semantics restored for datasets that carry scale mats; the SMPL dataset
+    has none so the flag is a no-op there — see validate_mesh docstring)."""
+    v0, t0, _ = runner.validate_mesh(resolution=24)
+    s = np.eye(4, dtype=np.float32)
+    s[0, 0] = s[1, 1] = s[2, 2] = 2.0
+    s[:3, 3] = [1.0, 2.0, 3.0]
+    runner.dataset.scale_mats_np = [s]
+    try:
+        v1, t1, _ = runner.validate_mesh(world_space=True, resolution=24)
+    finally:
+        del runner.dataset.scale_mats_np
+    np.testing.assert_allclose(
+        v1, v0 * 2.0 + np.array([1.0, 2.0, 3.0]), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(t0, t1)
+
+
 def test_one_vs_n_device_equality(tiny_dataset, tmp_path):
     """SURVEY.md §4: run the same jitted steps (photometric AND clip) on a
     1-device vs an N-device mesh with identical params/key and assert the

@@ -363,3 +363,55 @@ def test_zbuffer_kernel_matches_scan_path():
     gap = np.abs(iz(fk) - iz(fx))[(fk != fx) & both]
     if gap.size:
         assert np.median(gap) < 1e-2, f"median winner depth gap {np.median(gap)}"
+
+
+def test_zbuffer_kernel_close_camera_ordering():
+    """Regression (ADVICE r2): the kernel's quantized inv-depth key used to
+    saturate at inv_z = 4 (depth 0.25) while the XLA path represents up to
+    inv_z = 16 — a face camera at distance ~0.2 put ALL geometry in the
+    saturated band and the winner degenerated to highest-face-id. With
+    IZ_SCALE = 2^13 both paths share the saturation point; at depths in
+    (1/16, 1/4) the kernel must still order faces by depth."""
+    import math
+
+    from avatarclip_tpu.ops import raster_zbuffer
+
+    # small sphere, very close camera: depths ~0.13..0.23 (inv_z ~4.3..7.7)
+    n = 16
+    verts, faces = [], []
+    for i in range(n + 1):
+        for j in range(n):
+            th, ph = math.pi * i / n, 2 * math.pi * j / n
+            verts.append([
+                0.05 * math.sin(th) * math.cos(ph),
+                0.05 * math.cos(th),
+                0.05 * math.sin(th) * math.sin(ph),
+            ])
+    for i in range(n):
+        for j in range(n):
+            a, b = i * n + j, i * n + (j + 1) % n
+            c, d = (i + 1) * n + j, (i + 1) * n + (j + 1) % n
+            faces += [[a, b, c], [b, d, c]]
+    verts = jnp.asarray(np.array(verts, np.float32))
+    fj = jnp.asarray(np.array(faces, np.int32))
+    pose = cameras.lookat(
+        jnp.array([0.02, 0.01, 0.18]), jnp.zeros(3), jnp.array([0.0, 1.0, 0.0])
+    )
+    H = W = 48
+    proj = raster.project_vertices(verts, pose, H, W, 64.0)
+    valid = jnp.ones((fj.shape[0],), bool)
+    coef, cvalid, _ = raster._face_coefficients(proj, fj)
+    pix = raster._pixel_matrix(H, W)
+
+    bf_k = raster_zbuffer.zbuffer_select(pix, coef, valid & cvalid, interpret=True)
+    fid_x, _, _ = raster.rasterize(
+        proj.sx, proj.sy, proj.inv_z, proj.in_front, fj, valid, H, W,
+        chunk=128, use_kernel=False,
+    )
+    fk, fx = np.asarray(bf_k), np.asarray(fid_x)
+    hit_k, hit_x = fk >= 0, fx >= 0
+    np.testing.assert_array_equal(hit_k, hit_x)
+    both = hit_k & hit_x
+    assert both.sum() > 100  # the sphere actually covers pixels
+    agree = (fk == fx)[both].mean()
+    assert agree > 0.97, f"close-camera winner agreement {agree}"
