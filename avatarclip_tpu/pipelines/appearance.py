@@ -385,6 +385,7 @@ class Runner:
         toks = jnp.asarray(clip_tokenizer.tokenize(prompts))
         texts = clip_model.encode_text(params, cfg, toks)
         self._clip = (params, cfg)
+        self._clip_pretrained = bool(pretrained)
         # order: [main, face, back] — selected per-iteration in the step
         self._encoded_texts = jax.lax.stop_gradient(texts)
 

@@ -205,6 +205,28 @@ def test_validate_mesh_extracts_sphere(runner):
     assert len(meshes) == 1
 
 
+def test_clip_score_report(runner):
+    """The CLIP-score evaluator renders the deterministic canonical lattice
+    and scores every view; with the tiny random-init CLIP the numbers are
+    meaningless but must be finite, in [-1, 1], deterministic across calls,
+    and flagged pretrained_clip=False."""
+    from avatarclip_tpu.pipelines import eval_clip
+
+    rep1 = eval_clip.clip_score(runner, n_views=4, resolution_level=4)
+    rep2 = eval_clip.clip_score(runner, n_views=4, resolution_level=4)
+    assert rep1.n_views == 4 and len(rep1.cosines) == 4
+    assert all(np.isfinite(c) and -1.0 <= c <= 1.0 for c in rep1.cosines)
+    assert np.isclose(rep1.mean_cosine, np.mean(rep1.cosines))
+    assert rep1.face_cosine is not None  # tiny conf enables face prompt
+    assert rep1.back_cosine is not None
+    assert rep1.pretrained_clip is False
+    assert rep1.cosines == rep2.cosines  # deterministic lattice
+    d = rep1.to_json()
+    import json
+
+    json.dumps(d)  # serializable
+
+
 def test_validate_mesh_world_space_scale_mat(runner):
     """world_space maps vertices through scale_mats_np[0] (upstream-NeuS
     semantics restored for datasets that carry scale mats; the SMPL dataset
