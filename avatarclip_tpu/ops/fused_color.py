@@ -301,6 +301,17 @@ def kernel_flops_per_point(spec: FusedColorSpec) -> tuple[float, float]:
     return fwd, bwd
 
 
+def kernel_model_flops_per_point(spec: FusedColorSpec) -> tuple[float, float]:
+    """(forward, backward) MODEL matmul FLOPs per point: the backward's
+    forward recompute (the kernel stores no activations) is excluded; see
+    fused_sdf.kernel_model_flops_per_point."""
+    H, Fp = spec.d_hidden, spec.feat_pad
+    nh = spec.n_hidden
+    fwd_stack = 3 * 3 * H + Fp * H + (nh - 1) * H * H + H * 8
+    fwd, bwd = kernel_flops_per_point(spec)
+    return fwd, bwd - 2.0 * fwd_stack
+
+
 # ---------------------------------------------------------------------------
 # pallas_call drivers
 # ---------------------------------------------------------------------------

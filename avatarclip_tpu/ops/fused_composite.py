@@ -164,6 +164,21 @@ def _fused_bwd(spec, res, cots):
 _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
+def kernel_flops_per_ray(spec: CompositeSpec) -> tuple[float, float]:
+    """(forward, backward) elementwise-FLOP estimate per ray, for bench.py's
+    MFU ledger (Pallas work is invisible to XLA's FLOP count). All VPU work:
+    the log-scan cumprod (S * ceil(log2 S) mults), the alpha*trans weights
+    (S), and the three weighted reductions (2 * S * (rgb_width + 3)). The
+    in-kernel-AD backward re-runs the forward and adds the reverse-mode
+    chain of the same size, ~3x forward. Tiny vs the MLP matmuls (<0.1% of
+    the step) but counted for completeness (ADVICE r2)."""
+    import math
+
+    S, W = spec.samples, spec.rgb_width
+    fwd = S * math.ceil(math.log2(max(S, 2))) + S + 2.0 * S * (W + 3)
+    return float(fwd), float(3.0 * fwd)
+
+
 def composite_fused(alpha, rgb, grad):
     """alpha (R, S), rgb (R, S, 3|6), grad (R, S, 3) ->
     (weights (R, S), color (R, 3), extra (R, 3), normals_w (R, 3)).

@@ -642,6 +642,17 @@ def kernel_flops_per_point(spec: FusedNeuSSpec) -> tuple[float, float]:
     return s_fwd + c_fwd, s_bwd + c_bwd + s_fwd
 
 
+def kernel_model_flops_per_point(spec: FusedNeuSSpec) -> tuple[float, float]:
+    """(forward, backward) MODEL matmul FLOPs per point — recompute
+    excluded (no extra s_fwd re-run, and the sub-kernels' own primal
+    recomputes subtracted); see fused_sdf.kernel_model_flops_per_point.
+    This is what a store-activations implementation would execute, i.e.
+    the numerator for model-FLOP MFU."""
+    s_fwd, s_bwd = fused_sdf.kernel_model_flops_per_point(spec.sdf)
+    c_fwd, c_bwd = fused_color.kernel_model_flops_per_point(spec.color)
+    return s_fwd + c_fwd, s_bwd + c_bwd
+
+
 # ---------------------------------------------------------------------------
 # public API with custom VJP
 # ---------------------------------------------------------------------------

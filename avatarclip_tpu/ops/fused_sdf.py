@@ -748,6 +748,21 @@ def kernel_flops_per_point(spec: FusedSDFSpec) -> tuple[float, float]:
     return fwd, bwd
 
 
+def kernel_model_flops_per_point(spec: FusedSDFSpec) -> tuple[float, float]:
+    """(forward, backward) MODEL matmul FLOPs per point — the AD-required
+    work excluding recompute. The backward kernel re-runs the PRIMAL stack
+    (xe + hidden stack + skip) because it stores nothing between fwd and
+    bwd; a store-activations implementation (XLA remat=none) would skip
+    exactly that re-run, while the tangent stack and every reverse sweep
+    are genuine model compute. Used for bench.py's model-FLOP MFU (the
+    hardware-utilization number uses kernel_flops_per_point)."""
+    E, H = spec.e_pad, spec.d_hidden
+    nh = spec.n_hidden
+    fwd, bwd = kernel_flops_per_point(spec)
+    primal_recompute = 2.0 * (3 * E + E * H + (nh - 1) * H * H + H * H)
+    return fwd, bwd - primal_recompute
+
+
 # ---------------------------------------------------------------------------
 # public API with custom VJP
 # ---------------------------------------------------------------------------

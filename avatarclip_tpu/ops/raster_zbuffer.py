@@ -89,6 +89,15 @@ def _zbuffer_kernel(c0_ref, c1_ref, c2_ref, cz_ref, vmask_ref, pix_ref, out_ref)
     out_ref[...] = jnp.maximum(out_ref[...], best)
 
 
+def analytic_flops(n_pix: int, n_faces: int) -> float:
+    """Matmul FLOPs of one zbuffer_select call at PADDED shapes (four
+    (P,3)x(3,F) dots = 4 * 2 * 3 * P * F), for bench.py's MFU ledger —
+    forward-only, no gradient, so model == hardware FLOPs here."""
+    P = _round_up(n_pix, PBLOCK)
+    F = _round_up(n_faces, FBLOCK)
+    return 24.0 * P * F
+
+
 def zbuffer_select(
     pix: jnp.ndarray,  # (P, 3) f32 pixel matrix [px, py, 1]
     coef: jnp.ndarray,  # (F, 3, 4) face coefficients (raster._face_coefficients)

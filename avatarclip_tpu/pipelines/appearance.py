@@ -745,7 +745,11 @@ class Runner:
             params = optax.apply_updates(params, updates)
             return params, opt_state, metrics
 
-        # exposed for cost analysis (bench.py MFU estimate)
+        # exposed for cost analysis (bench.py MFU estimate): per-resolution
+        # variant dict + last-built alias
+        if not hasattr(self, "_clip_step_variants"):
+            self._clip_step_variants = {}
+        self._clip_step_variants[S] = step
         self._clip_step_jit = step
         return step
 

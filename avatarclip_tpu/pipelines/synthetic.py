@@ -56,7 +56,13 @@ def make_conf_text(
         max_ray = 112 * 112
         clip_model = "vit_b32"
         batch = 512
-        extra = ""
+        # reference-parity workload knobs (VERDICT r2 missing #4): GT
+        # template renders at 256^2 (main.py:376) and the shipped ironman
+        # adaptive silhouette-resolution ladder (dataset.py:252-275)
+        extra = (
+            "gt_render_res = 256\n"
+            "    sil_buckets = [112, 134, 160, 192, 230, 256]"
+        )
     elif scale == "small":
         sdf = dict(d_out=129, d_hidden=128, n_layers=3, skip=3, multires=6)
         color = dict(d_feature=128, d_hidden=128, n_layers=1)

@@ -1,14 +1,28 @@
 """Benchmark: full train_clip iteration throughput on the real TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 The measured quantity is NeuS rays/sec/chip through the COMPLETE fused
-train_clip step at the reference's full workload shape (BASELINE.md):
-12,544 rays x 64 samples, 4x256 SDF + 2x256 color nets, GT template
-rasterization, silhouette selection, background aug, relighting, CLIP
-ViT-B/32 scoring of 2 images, losses, gradients and the Adam update —
-i.e. everything the reference does per iteration (main.py:345-538), not a
+train_clip step at the reference's full PARITY workload (BASELINE.md +
+VERDICT r2 item 4): 12,544 rays x 64 samples, 4x256 SDF + 2x256 color nets,
+GT template rasterization at 256^2 (reference main.py:376), the shipped
+ironman adaptive silhouette-resolution ladder (sil_buckets 112..256,
+dataset.py:252-275 semantics), background aug, relighting, CLIP ViT-B/32
+scoring of 2 images, losses, gradients and the Adam update — i.e.
+everything the reference does per iteration (main.py:345-538), not a
 renderer microbenchmark.
+
+MFU is reported two ways (VERDICT r2 weak #1):
+  - mfu_model_pct: MODEL FLOPs (XLA's ledger of the compiled step + the
+    Pallas kernels' analytic counts EXCLUDING backward recompute — what a
+    store-activations implementation would execute) / time / v5e bf16 peak.
+    This is the honest MFU headline.
+  - mfu_hw_pct: hardware utilization — same ledger but kernel FLOPs
+    INCLUDING the backward kernels' forward recompute (work actually
+    issued to the MXU).
+Both are per-executed-bucket weighted (ADVICE r2): each timed iteration's
+variant is known from the deterministic host-side camera stream, and every
+variant's XLA ledger is read from its own compiled executable.
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md). We
 anchor against an estimated 40,000 rays/sec on the reference's V100 setup:
@@ -24,11 +38,14 @@ import sys
 import tempfile
 import time
 
+V5E_BF16_PEAK = 197e12
+
 
 def main():
     import os
 
     import jax
+    import numpy as np
 
     # persistent compilation cache: the fused step takes minutes to compile
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
@@ -36,86 +53,160 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from avatarclip_tpu.pipelines import synthetic
+    from avatarclip_tpu.render import cameras
+
+    warm_extra = 2
+    iters = 30
 
     with tempfile.TemporaryDirectory() as d:
         # keep stdout to exactly one JSON line: setup chatter goes to stderr
         with contextlib.redirect_stdout(sys.stderr):
-            runner = synthetic.make_runner(d, scale="full", res=64, n_views=4)
+            # 256^2 synthetic views: the sensor must be as wide as the
+            # largest sil bucket for the adaptive ladder to engage
+            runner = synthetic.make_runner(d, scale="full", res=256, n_views=4)
             runner.init_clip()
             runner.init_smpl()
             step = runner._make_clip_step()
-        R = runner.tc.max_ray_num
 
-        key = jax.random.PRNGKey(0)
-        params, opt_state = runner.params, runner.opt_state
+            tc = runner.tc
+            R = tc.max_ray_num
+            buckets = tuple(sorted(tc.sil_buckets)) or (tc.sil_res,)
 
-        # warmup / compile
-        for it in range(3):
-            key, k = jax.random.split(key)
-            params, opt_state, metrics = step(params, opt_state, k, it)
-        jax.block_until_ready(params)
+            # deterministic bucket schedule for the timed window (the camera
+            # stream is host-side np.random.default_rng([seed, it]))
+            def bucket_for(it):
+                if len(buckets) == 1:
+                    return buckets[0]
+                face = bool(tc.use_face_prompt) and (it % 4 == 0)
+                rng = np.random.default_rng([runner._camera_seed, it])
+                cam = cameras.sample_training_camera(
+                    rng, face, tc.head_height
+                )
+                return runner._pick_sil_bucket(buckets, cam)
 
-        iters = 30
+            schedule = [bucket_for(it) for it in range(iters)]
+            distinct = sorted(set(schedule))
+            print(f"bucket schedule ({iters} iters): "
+                  f"{ {b: schedule.count(b) for b in distinct} }")
+
+            key = jax.random.PRNGKey(0)
+            params, opt_state = runner.params, runner.opt_state
+
+            # warmup: compile every variant the timed window will use
+            # (+ a couple of repeat steps so the timed loop is steady-state)
+            warm_its = []
+            seen = set()
+            for it in range(iters):
+                if schedule[it] not in seen:
+                    seen.add(schedule[it])
+                    warm_its.append(it)
+            warm_its += warm_its[:1] * warm_extra
+            for it in warm_its:
+                key, k = jax.random.split(key)
+                params, opt_state, metrics = step(params, opt_state, k, it)
+            jax.block_until_ready(params)
+            float(metrics["loss"])  # hard sync (see CLAUDE.md)
+
         t0 = time.perf_counter()
         for it in range(iters):
             key, k = jax.random.split(key)
-            params, opt_state, metrics = step(params, opt_state, k, it + 3)
+            params, opt_state, metrics = step(params, opt_state, k, it)
         jax.block_until_ready(params)
         # hard sync: on this remote platform block_until_ready has been seen
         # returning before the queue drains; fetching a value cannot
         float(metrics["loss"])
         dt = time.perf_counter() - t0
 
-    rays_per_sec = R * iters / dt
+        rays_per_sec = R * iters / dt
 
-    # MFU estimate: XLA's own FLOP count for the compiled step against the
-    # chip's bf16 peak (v5e: 197 TFLOP/s). Advisory — XLA counts matmul
-    # FLOPs only, so this is a lower bound on useful work.
-    mfu_pct = None
-    try:
-        with contextlib.redirect_stdout(sys.stderr):
-            comp = runner._clip_step_jit.lower(
-                params, opt_state, key, 0, runner._clip_const,
-                runner._clip_cam_example,
-            ).compile()
-            an = comp.cost_analysis()
-            if isinstance(an, list):
-                an = an[0]
-            flops = float(an["flops"])
-            # Pallas kernels are invisible to XLA's FLOP ledger — add their
-            # analytic matmul counts when the auto-gates engage
-            if jax.default_backend() == "tpu":
-                from avatarclip_tpu.ops import fused_neus
+        # -- MFU ledger, per executed bucket ------------------------------
+        mfu_model = mfu_hw = None
+        try:
+            with contextlib.redirect_stdout(sys.stderr):
+                from avatarclip_tpu.ops import (
+                    fused_composite, fused_neus, raster_zbuffer,
+                )
+                from avatarclip_tpu.parallel import mesh as pmesh
 
-                cfgs = runner.cfgs
-                n_total = runner.ncfg.n_samples + runner.ncfg.n_importance
-                P = R * n_total
-                if (
-                    cfgs.sdf.use_pallas
+                cfgs, ncfg = runner.cfgs, runner.ncfg
+                n_total = ncfg.n_samples + ncfg.n_importance
+                on_tpu = jax.default_backend() == "tpu"
+                kernels_on = (
+                    on_tpu
+                    and cfgs.sdf.use_pallas
                     and cfgs.color.use_pallas
                     and cfgs.sdf.d_hidden >= 256
-                ):
-                    spec = fused_neus.spec_from_configs(
-                        cfgs.sdf, cfgs.color, n_total
-                    )
+                )
+                spec = (
+                    fused_neus.spec_from_configs(cfgs.sdf, cfgs.color, n_total)
+                    if kernels_on
+                    else None
+                )
+                n_faces = int(np.asarray(runner._template[1]).shape[0])
+                GT = tc.gt_render_res or max(buckets)
+
+                def per_iter_flops(S):
+                    comp = runner._clip_step_variants[S].lower(
+                        params, opt_state, key, 0, runner._clip_const,
+                        runner._clip_cam_example,
+                    ).compile()
+                    an = comp.cost_analysis()
+                    if isinstance(an, list):
+                        an = an[0]
+                    xla = float(an["flops"])
+                    hw = model = xla
+                    Rp = pmesh.pad_to_multiple(min(tc.max_ray_num, S * S))
+                    Rp = min(Rp, S * S)
+                    P = Rp * n_total
                     if spec is not None:
-                        flops += P * sum(
-                            fused_neus.kernel_flops_per_point(spec)
+                        kf, kb = fused_neus.kernel_flops_per_point(spec)
+                        mf, mb = fused_neus.kernel_model_flops_per_point(spec)
+                        hw += P * (kf + kb)
+                        model += P * (mf + mb)
+                        cspec = fused_composite.CompositeSpec(
+                            samples=n_total,
+                            rgb_width=6 if runner.extra_color else 3,
                         )
-        tflops_sustained = flops * iters / dt / 1e12
-        mfu_pct = round(100.0 * tflops_sustained / 197.0, 2)
-    except Exception as e:
-        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
+                        cf, cb = fused_composite.kernel_flops_per_ray(cspec)
+                        hw += Rp * (cf + cb)
+                        model += Rp * (cf + cb)
+                    if on_tpu:
+                        rz = raster_zbuffer.analytic_flops(GT * GT, n_faces)
+                        hw += rz
+                        model += rz
+                    return model, hw
+
+                cache_f = {}
+                tot_model = tot_hw = 0.0
+                for S in schedule:
+                    if S not in cache_f:
+                        cache_f[S] = per_iter_flops(S)
+                    m, h = cache_f[S]
+                    tot_model += m
+                    tot_hw += h
+            mfu_model = round(100.0 * tot_model / dt / V5E_BF16_PEAK, 2)
+            mfu_hw = round(100.0 * tot_hw / dt / V5E_BF16_PEAK, 2)
+        except Exception as e:
+            print(f"cost_analysis unavailable: {e}", file=sys.stderr)
 
     baseline = 40_000.0
     out = {
-        "metric": "train_clip NeuS rays/sec/chip (full fused step)",
+        "metric": "train_clip NeuS rays/sec/chip (full fused step, parity workload)",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / baseline, 3),
+        "workload": {
+            "rays": R,
+            "samples": 64,
+            "gt_render_res": tc.gt_render_res,
+            "sil_buckets": list(buckets),
+            "buckets_executed": {int(b): schedule.count(b)
+                                 for b in sorted(set(schedule))},
+        },
     }
-    if mfu_pct is not None:
-        out["mfu_pct_vs_v5e_bf16_peak"] = mfu_pct
+    if mfu_model is not None:
+        out["mfu_model_pct"] = mfu_model
+        out["mfu_hw_pct"] = mfu_hw
     print(json.dumps(out))
 
 

@@ -199,3 +199,35 @@ def test_full_render_with_upsampling(setup, monkeypatch):
         np.asarray(out_f["weight_sum"]), np.asarray(out_p["weight_sum"]),
         atol=2e-5, rtol=1e-4,
     )
+
+
+def test_flop_accounting_model_vs_hw(setup):
+    """Model FLOPs (no recompute) must be positive and strictly below the
+    hardware count, and both symmetric-positive across fwd/bwd; the model
+    backward must still exceed the forward (reverse sweeps + tangent)."""
+    cfg, cfgs, params, *_ = setup
+    n_total = cfg.n_samples + cfg.n_importance
+    spec = fused_neus.spec_from_configs(cfgs.sdf, cfgs.color, n_total)
+    assert spec is not None
+    kf, kb = fused_neus.kernel_flops_per_point(spec)
+    mf, mb = fused_neus.kernel_model_flops_per_point(spec)
+    assert 0 < mf <= kf
+    assert 0 < mb < kb
+    assert mb > mf  # backward still costs more than forward without recompute
+    # sub-kernel helpers agree in aggregate
+    sf, sb = fused_sdf.kernel_model_flops_per_point(spec.sdf)
+    from avatarclip_tpu.ops import fused_color
+
+    cf, cb = fused_color.kernel_model_flops_per_point(spec.color)
+    assert np.isclose(mf, sf + cf) and np.isclose(mb, sb + cb)
+
+
+def test_composite_and_raster_flop_helpers():
+    from avatarclip_tpu.ops import fused_composite, raster_zbuffer
+
+    cspec = fused_composite.CompositeSpec(samples=64, rgb_width=6)
+    cf, cb = fused_composite.kernel_flops_per_ray(cspec)
+    assert 0 < cf < cb
+    rz = raster_zbuffer.analytic_flops(256 * 256, 13776)
+    # 24 * padded(65536) * padded(14336)
+    assert rz == 24.0 * 65536 * 14336
