@@ -62,10 +62,17 @@ from .fused_sdf import (
 
 # Points per grid step are spec-derived: rays_per_block must be a multiple
 # of 8 (Mosaic sublane constraint on the (Rb, 3) ray blocks) and the block
-# targets ~1024 points to keep the MXU dots well-shaped (measured: 512
-# -> 1024 gave +0.6% on the full step; larger blocks amortize per-block
-# overhead without pressuring VMEM).
+# targets ~1024 points AT 256-WIDE nets to keep the MXU dots well-shaped
+# (measured: 512 -> 1024 gave +0.6% on the full step; larger blocks
+# amortize per-block overhead without pressuring VMEM). Narrower nets scale
+# the target up inversely (128-wide -> 2048 points) so the (B, H) dots keep
+# the same MXU tile volume — the round-2 negative result for 128-wide
+# kernels was measured at the fixed 256-point fused_sdf blocks, not at a
+# width-scaled block (VERDICT r2 missing #5 / next #7).
 _TARGET_BLOCK = 1024
+# experiment hook: scripts can pin an absolute point-block size; None =
+# width-scaled default
+_TARGET_BLOCK_OVERRIDE: int | None = None
 
 
 def _dot(a, b):
@@ -99,7 +106,11 @@ class FusedNeuSSpec:
 
     @property
     def rays_per_block(self) -> int:
-        return max(8, _TARGET_BLOCK // self.samples // 8 * 8)
+        if _TARGET_BLOCK_OVERRIDE is not None:
+            target = _TARGET_BLOCK_OVERRIDE
+        else:
+            target = _TARGET_BLOCK * max(1, 256 // max(self.sdf.d_hidden, 1))
+        return max(8, target // self.samples // 8 * 8)
 
     @property
     def block(self) -> int:  # points per grid step

@@ -231,3 +231,67 @@ def test_composite_and_raster_flop_helpers():
     rz = raster_zbuffer.analytic_flops(256 * 256, 13776)
     # 24 * padded(65536) * padded(14336)
     assert rz == 24.0 * 65536 * 14336
+
+
+def test_kernel_parity_128_wide(monkeypatch):
+    """128-wide (examples_small) shapes through the megakernel: forward and
+    full VJP must match the pure path, so the width gate can be flipped on
+    a measurement rather than a correctness risk. Also checks the
+    width-scaled block target (256-wide target 1024 pts -> 128-wide 2048)."""
+    monkeypatch.setattr(fused_sdf, "_OPERAND_DTYPE", jnp.float32)
+    sdf_cfg = nets.SDFConfig(
+        d_out=129, d_hidden=128, n_layers=3, skip_in=(3,), multires=6
+    )
+    color_cfg = nets.ColorConfig(
+        d_feature=128, mode="no_view_dir", d_in=6, d_hidden=128, n_layers=1,
+        extra_color=True,
+    )
+    cfg = neus.NeuSConfig(
+        n_samples=8, n_importance=8, up_sample_steps=2, perturb=0.0,
+        extra_color=True,
+    )
+    cfgs = neus.NetConfigs(sdf=sdf_cfg, color=color_cfg)
+    spec = fused_neus.spec_from_configs(sdf_cfg, color_cfg, 16)
+    assert spec is not None
+    assert spec.rays_per_block * spec.samples == 2048  # width-scaled target
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    params = {
+        "sdf": nets.sdf_init(k1, sdf_cfg),
+        "color": nets.color_init(k2, color_cfg),
+        "variance": nets.variance_init(0.3),
+    }
+    R, S = 4, 16
+    ko, kd = jax.random.split(jax.random.PRNGKey(5))
+    rays_o = jnp.array([[0.0, 0.0, -2.2]]) + 0.1 * jax.random.normal(ko, (R, 3))
+    rays_d = jnp.array([[0.0, 0.0, 1.0]]) + 0.05 * jax.random.normal(kd, (R, 3))
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    z_vals = jnp.linspace(1.2, 3.2, S)[None, :] + 0.01 * jax.random.uniform(
+        jax.random.PRNGKey(6), (R, S)
+    )
+    out_f = _core(params, cfg, cfgs, rays_o, rays_d, z_vals, True)
+    out_p = _core(params, cfg, cfgs, rays_o, rays_d, z_vals, False)
+    for key in ("color", "extra_color", "sdf", "gradients", "weights"):
+        np.testing.assert_allclose(
+            np.asarray(out_f[key]), np.asarray(out_p[key]),
+            atol=2e-5, rtol=1e-4, err_msg=key,
+        )
+
+    def loss(force):
+        def f(p):
+            out = _core(p, cfg, cfgs, rays_o, rays_d, z_vals, force)
+            return (
+                jnp.sum(out["color"]) + jnp.sum(out["extra_color"]) * 0.5
+                + out["gradient_error"] + jnp.sum(out["weights"]) * 0.1
+            )
+
+        return f
+
+    g_f = jax.grad(loss(True))(params)
+    g_p = jax.grad(loss(False))(params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_f), jax.tree_util.tree_leaves(g_p)
+    ):
+        scale = max(1.0, float(jnp.abs(b).max()))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4 * scale, rtol=2e-3
+        )
