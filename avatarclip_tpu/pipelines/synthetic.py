@@ -64,7 +64,10 @@ def make_conf_text(
             "    sil_buckets = [112, 134, 160, 192, 230, 256]"
         )
     elif scale == "small":
-        sdf = dict(d_out=129, d_hidden=128, n_layers=3, skip=3, multires=6)
+        # use_pallas=True so the kernel-vs-XLA decision at this width is
+        # purely the neus._MIN_KERNEL_WIDTH gate (perf_experiments width128)
+        sdf = dict(d_out=129, d_hidden=128, n_layers=3, skip=3, multires=6,
+                   use_pallas=True)
         color = dict(d_feature=128, d_hidden=128, n_layers=1)
         samples = dict(n_samples=32, n_importance=32, steps=4)
         max_ray = 7000

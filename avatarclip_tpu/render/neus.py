@@ -36,6 +36,11 @@ from ..fields import networks as nets
 # NeuS point megakernel on/off (tests force True to run the interpret-mode
 # kernel on CPU against the pure path)
 _FORCE_MEGA: bool | None = None
+# production width gate for the Pallas megakernel path: at 128-wide nets the
+# fixed 256-pt fused_sdf blocks measured SLOWER than XLA (docs/PROFILE.md);
+# scripts/perf_experiments.py lowers this to re-measure with width-scaled
+# megakernel blocks (fused_neus._TARGET_BLOCK scaling)
+_MIN_KERNEL_WIDTH = 256
 
 
 @dataclasses.dataclass(frozen=True)
@@ -311,7 +316,7 @@ def render_core(
             cfgs.sdf.use_pallas
             and cfgs.color.use_pallas
             and background_alpha is None
-            and cfgs.sdf.d_hidden >= 256
+            and cfgs.sdf.d_hidden >= _MIN_KERNEL_WIDTH
             and jax.default_backend() == "tpu"
         )
     if use_mega:
