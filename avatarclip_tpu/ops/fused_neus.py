@@ -172,10 +172,16 @@ def _eik_terms(g, relax):
     )
 
 
-def _sdf_forward_states(spec, named, x_raw, consts):
+def _sdf_forward_states(spec, named, x_raw, consts, need_gradient=True):
     """SDF primal forward + analytic spatial gradient (fused_sdf._fwd_kernel
     math, states kept for reuse). Returns a dict of everything downstream
-    passes need."""
+    passes need.
+
+    ``need_gradient=False`` skips the reverse sweep that produces ``g`` —
+    the backward kernel reads the forward kernel's (sdf, grad) outputs back
+    as residuals instead of re-deriving them, saving ~H^2*n_hidden + H*E
+    matmul FLOPs per point of pure recompute (the sweep's intermediates are
+    not used anywhere downstream, only g itself)."""
     comp, oneh, freq, sinsel, cossel = consts
     x = x_raw * spec.scale
     xe = _dot_f32(x, comp)
@@ -213,22 +219,24 @@ def _sdf_forward_states(spec, named, x_raw, consts):
         + jnp.sum(e * named["wse_row"][...], axis=1, keepdims=True)
         + named["bs"][...][:, 0:1]
     )
-    # spatial gradient: reverse sweep (output units, see fused_sdf)
-    t_s = named["wsa_row"][...] * p_s
-    q = _dotT(t_s, named["wskip"][...])
-    q_e = None
-    for i in reversed(range(spec.n_hidden)):
-        t_i = q * p_list[i]
-        if i == 0:
-            q_e = _dotT(t_i, named["w0"][...])
-        else:
-            q = _dotT(t_i, named[f"w{i}"][...])
-    q_e = q_e + named["wse_row"][...]
-    g = jax.lax.dot_general(
-        q_e * de, comp,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    g = None
+    if need_gradient:
+        # spatial gradient: reverse sweep (output units, see fused_sdf)
+        t_s = named["wsa_row"][...] * p_s
+        q = _dotT(t_s, named["wskip"][...])
+        q_e = None
+        for i in reversed(range(spec.n_hidden)):
+            t_i = q * p_list[i]
+            if i == 0:
+                q_e = _dotT(t_i, named["w0"][...])
+            else:
+                q = _dotT(t_i, named[f"w{i}"][...])
+        q_e = q_e + named["wse_row"][...]
+        g = jax.lax.dot_general(
+            q_e * de, comp,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     return {
         "e": e, "de": de, "dde": dde, "a_list": a_list, "p_list": p_list,
         "z_s": z_s, "sig_s": sig_s, "smask": smask, "a_s": a_s, "p_s": p_s,
@@ -322,15 +330,15 @@ def _color_forward(spec, named, x_raw, g, dirs, feat):
 
 def _bwd_kernel(spec: FusedNeuSSpec, *refs):
     ss, cs = spec.sdf, spec.color
-    (o_ref, d_ref, z_ref, t_ref, sc_ref, csdf_ref, calpha_ref, ccdf_ref,
-     cgrad_ref, crgb_ref, ceik_ref) = refs[:11]
-    consts = [r[...] for r in refs[11:16]]
+    (o_ref, d_ref, z_ref, t_ref, sc_ref, sdf_in_ref, g_in_ref, csdf_ref,
+     calpha_ref, ccdf_ref, cgrad_ref, crgb_ref, ceik_ref) = refs[:13]
+    consts = [r[...] for r in refs[13:18]]
     comp, oneh, freq, sinsel, cossel = consts
     s_names = _sdf_w_names(ss)
     c_names = [f"c_{nm}" for nm in fused_color._name_list(cs)]
     n_w = len(s_names) + len(c_names)
-    named = dict(zip(s_names + c_names, refs[16 : 16 + n_w]))
-    outs = refs[16 + n_w:]
+    named = dict(zip(s_names + c_names, refs[18 : 18 + n_w]))
+    outs = refs[18 + n_w:]
     do_ref, dd_ref, dz_ref, dt_ref, dsc_ref = outs[:5]
     gnames = [f"d{nm}" for nm in s_names] + [f"d{nm}" for nm in c_names]
     gnamed = dict(zip(gnames, outs[5:]))
@@ -355,9 +363,13 @@ def _bwd_kernel(spec: FusedNeuSSpec, *refs):
     crgb = crgb_ref[...]  # (B, 3|6)
     c_num = ceik_ref[...][0:1, 0:1]  # (1,1)
 
-    # ---- recompute forward states ------------------------------------
-    st = _sdf_forward_states(ss, named, x_raw, consts)
-    feat, g, sdf = st["feat"], st["g"], st["sdf"]
+    # ---- recompute forward states (primal stack only: sdf and the
+    # spatial gradient come back from the forward kernel's outputs as
+    # residuals, so the reverse sweep is NOT re-run here) ----------------
+    st = _sdf_forward_states(ss, named, x_raw, consts, need_gradient=False)
+    feat = st["feat"]
+    sdf = sdf_in_ref[...]
+    g = g_in_ref[...]
 
     z0 = (
         _dot(x_raw, named["c_wx"][...])
@@ -591,7 +603,7 @@ def _run_fwd(spec: FusedNeuSSpec, s_weights, c_weights, ro, rd, z, dists, sc):
 
 
 def _run_bwd(spec: FusedNeuSSpec, s_weights, c_weights, ro, rd, z, dists, sc,
-             cots):
+             sdf_fwd, g_fwd, cots):
     P = z.shape[0]
     Rp = ro.shape[0]
     consts = [jnp.asarray(c) for c in _pe_constants(spec.sdf)]
@@ -619,7 +631,8 @@ def _run_bwd(spec: FusedNeuSSpec, s_weights, c_weights, ro, rd, z, dists, sc,
         functools.partial(_bwd_kernel, spec),
         grid=(P // spec.block,),
         in_specs=[_rblk(spec, 3), _rblk(spec, 3), _blk(spec, 1), _blk(spec, 1),
-                  _full(sc), _blk(spec, 1), _blk(spec, 1), _blk(spec, 1),
+                  _full(sc), _blk(spec, 1), _blk(spec, 3), _blk(spec, 1),
+                  _blk(spec, 1), _blk(spec, 1),
                   _blk(spec, 3), _blk(spec, W), _full(c_eik)]
         + [_full(c) for c in consts]
         + [_full(w) for w in w_args],
@@ -630,8 +643,8 @@ def _run_bwd(spec: FusedNeuSSpec, s_weights, c_weights, ro, rd, z, dists, sc,
             dimension_semantics=("arbitrary",),
         ),
         interpret=jax.default_backend() != "tpu",
-    )(ro, rd, z, dists, sc, c_sdf, c_alpha, c_cdf, c_grad, c_rgb, c_eik,
-      *consts, *w_args)
+    )(ro, rd, z, dists, sc, sdf_fwd, g_fwd, c_sdf, c_alpha, c_cdf, c_grad,
+      c_rgb, c_eik, *consts, *w_args)
     do, dd, dz, dt, dsc = outs[:5]
     gs = outs[5:]
     d_s = dict(zip(s_gnames, gs[: len(s_gnames)]))
@@ -644,13 +657,15 @@ def kernel_flops_per_point(spec: FusedNeuSSpec) -> tuple[float, float]:
     bench.py's MFU estimate — Pallas work is invisible to XLA's ledger.
 
     fwd = SDF fwd (incl. gradient reverse sweep) + color fwd + head row-sums.
-    bwd = SDF fwd recompute + tangent stack + reverse + color fwd recompute
-          + color reverse; the alpha/eikonal chains are elementwise."""
+    bwd = fused_sdf's primal+tangent stacks/head grads/reverses + color
+          bwd + the feat/sdf-head FORWARD dots that _sdf_forward_states
+          re-runs (the gradient reverse sweep is NOT recomputed anymore:
+          (sdf, grad) come back from the forward as residuals)."""
     s_fwd, s_bwd = fused_sdf.kernel_flops_per_point(spec.sdf)
     c_fwd, c_bwd = fused_color.kernel_flops_per_point(spec.color)
-    # our bwd recomputes the sdf forward+gradient too (fused_sdf's bwd only
-    # runs primal+tangent stacks); approximate that extra as s_fwd
-    return s_fwd + c_fwd, s_bwd + c_bwd + s_fwd
+    E, H, Fp = spec.sdf.e_pad, spec.sdf.d_hidden, spec.sdf.feat_pad
+    head_fwd = 2.0 * (H * Fp + E * Fp + H * fused_sdf.LANE + E * fused_sdf.LANE)
+    return s_fwd + c_fwd, s_bwd + c_bwd + head_fwd
 
 
 def kernel_model_flops_per_point(spec: FusedNeuSSpec) -> tuple[float, float]:
@@ -682,14 +697,18 @@ def _fused_core(weights, rays, z, dists, sc, spec):
 
 def _fused_core_fwd(weights, rays, z, dists, sc, spec):
     out = _fused_core(weights, rays, z, dists, sc, spec)
-    return out, (weights, rays, z, dists, sc)
+    # residuals carry the forward's (sdf, grad) outputs — (P,1)+(P,3) f32,
+    # tiny vs the activations — so the backward kernel skips the gradient
+    # reverse-sweep recompute entirely (see _sdf_forward_states)
+    return out, (weights, rays, z, dists, sc, out[0], out[3])
 
 
 def _fused_core_bwd(spec, res, cots):
-    weights, rays, z, dists, sc = res
+    weights, rays, z, dists, sc, sdf_fwd, g_fwd = res
     ro, rd = rays
     do, dd, dz, dt, dsc, d_s, d_c = _run_bwd(
-        spec, weights["s"], weights["c"], ro, rd, z, dists, sc, cots
+        spec, weights["s"], weights["c"], ro, rd, z, dists, sc,
+        sdf_fwd, g_fwd, cots
     )
     # duplicated sdf-head forms receive zero; full head grad rides the row
     # forms and dense_weights' VJP sums every copy's contribution

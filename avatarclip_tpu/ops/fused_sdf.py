@@ -748,6 +748,15 @@ def kernel_flops_per_point(spec: FusedSDFSpec) -> tuple[float, float]:
     return fwd, bwd
 
 
+def sweep_flops_per_point(spec: FusedSDFSpec) -> float:
+    """Matmul FLOPs of the spatial-gradient reverse sweep + g composition
+    (the part of the forward the megakernel backward no longer recomputes
+    since it reads (sdf, grad) back as residuals)."""
+    E, H = spec.e_pad, spec.d_hidden
+    nh = spec.n_hidden
+    return 2.0 * (H * H + (nh - 1) * H * H + H * E + E * 3)
+
+
 def kernel_model_flops_per_point(spec: FusedSDFSpec) -> tuple[float, float]:
     """(forward, backward) MODEL matmul FLOPs per point — the AD-required
     work excluding recompute. The backward kernel re-runs the PRIMAL stack
