@@ -105,7 +105,7 @@ general {{
     base_exp_dir = {exp}/sculpt
 }}
 dataset {{
-    data_dir = zero_beta_standpose_render
+    data_dir = zero_beta_tpose_render
 }}
 train {{
     learning_rate = 5e-4
