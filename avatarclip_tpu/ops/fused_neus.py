@@ -304,6 +304,99 @@ def _fwd_kernel(spec: FusedNeuSSpec, *refs):
     rgb_ref[...] = head[:, : rgb_ref.shape[1]]
 
 
+def _composite_ray(spec: FusedNeuSSpec, alpha, rgb, g):
+    """In-kernel per-ray compositing (renderer.py:250-266 + the weighted
+    normal sum of main.py:426-428), point-major inputs.
+
+    alpha (B, 1), rgb (B, 3|6), g (B, 3) with B = Rb * S, points ordered
+    ray-major. Returns (colorW (Rb, W), normals_w (Rb, 3), wsum (Rb, 1)).
+
+    Mosaic cannot reshape (B, 1) <-> (Rb, S) ("unsupported shape cast"), so
+    the lane transpose rides two tiny f32 MXU dots with constant 0/1
+    matrices: U (Rb, B) selects each ray's points, V (B, S) one-hots each
+    point's sample lane. Entries are exact (x*1 sums of one term), and the
+    per-ray reductions use (B, c) -> (Rb, S, c) leading-dim splits (the
+    direction Mosaic supports) + f32 VPU sums, so results match the
+    unfused XLA compositing to f32 tolerance."""
+    Rb, S = spec.rays_per_block, spec.samples
+    B = Rb * S
+    bcol = jax.lax.broadcasted_iota(jnp.int32, (Rb, B), 1)
+    rrow = jax.lax.broadcasted_iota(jnp.int32, (Rb, B), 0)
+    U = (bcol // S == rrow).astype(jnp.float32)
+    brow = jax.lax.broadcasted_iota(jnp.int32, (B, S), 0)
+    scol = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+    V = (brow % S == scol).astype(jnp.float32)
+
+    x = 1.0 - alpha + 1e-7  # (B, 1)
+    X = _dot_f32(U, x * V)  # (Rb, S): X[r, s] = x[r*S + s]
+    # exclusive prefix product along lanes (Hillis-Steele log-scan)
+    trans = jnp.concatenate([jnp.ones((Rb, 1), X.dtype), X[:, :-1]], axis=1)
+    k = 1
+    while k < S:
+        trans = trans * jnp.concatenate(
+            [jnp.ones((Rb, k), X.dtype), trans[:, :-k]], axis=1
+        )
+        k *= 2
+    # back to point-major: rows of (U^T trans) carry each ray's trans
+    # vector; V picks the point's own sample lane
+    trans_pt = jnp.sum(
+        jax.lax.dot_general(
+            U, trans, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * V,
+        axis=1, keepdims=True,
+    )  # (B, 1)
+    w = alpha * trans_pt
+    colW = jnp.sum((w * rgb).reshape(Rb, S, rgb.shape[1]), axis=1)
+    normals_w = jnp.sum((w * g).reshape(Rb, S, 3), axis=1)
+    wsum = jnp.sum(w.reshape(Rb, S, 1), axis=1)
+    return colW, normals_w, wsum
+
+
+def _fwd_kernel_ray(spec: FusedNeuSSpec, *refs):
+    """Per-ray-output forward: the point pipeline of _fwd_kernel plus
+    in-kernel compositing. Per-point HBM traffic is only the (sdf, grad)
+    residual pair the backward reads to skip recompute; alpha/cdf/rgb/
+    inside never leave VMEM."""
+    ss, cs = spec.sdf, spec.color
+    o_ref, d_ref, z_ref, t_ref, sc_ref = refs[:5]
+    consts = [r[...] for r in refs[5:10]]
+    s_names = _sdf_w_names(ss)
+    c_names = [f"c_{nm}" for nm in fused_color._name_list(cs)]
+    named = dict(zip(s_names + c_names, refs[10 : 10 + len(s_names) + len(c_names)]))
+    (col_ref, nw_ref, ws_ref, sdf_ref, grad_ref,
+     eik_ref) = refs[10 + len(s_names) + len(c_names):]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        eik_ref[...] = jnp.zeros(eik_ref.shape, eik_ref.dtype)
+
+    x_raw, dirs = _block_points(spec, o_ref, d_ref, z_ref)
+    dist = t_ref[...]
+    inv_s = sc_ref[...][0:1, 0:1]
+    r = sc_ref[...][0:1, 1:2]
+
+    st = _sdf_forward_states(ss, named, x_raw, consts)
+    _, head = _color_forward(cs, named, x_raw, st["g"], dirs, st["feat"])
+    alpha, _cdf = _alpha_chain(st["sdf"], st["g"], dirs, dist, inv_s, r)
+
+    pts_norm = jnp.sqrt(jnp.sum(x_raw * x_raw, axis=-1, keepdims=True))
+    relax = (pts_norm < 1.2).astype(jnp.float32)
+    num, den = _eik_terms(st["g"], relax)
+    lane = jax.lax.broadcasted_iota(jnp.int32, eik_ref.shape, 1)
+    eik_ref[...] += jnp.where(
+        lane == 0, num, jnp.where(lane == 1, den, 0.0)
+    )
+
+    rgb = head[:, : col_ref.shape[1]]
+    colW, normals_w, wsum = _composite_ray(spec, alpha, rgb, st["g"])
+    col_ref[...] = colW
+    nw_ref[...] = normals_w
+    ws_ref[...] = wsum
+    sdf_ref[...] = st["sdf"]
+    grad_ref[...] = st["g"]
+
+
 def _color_forward(spec, named, x_raw, g, dirs, feat):
     """Rendering-MLP primal forward (fused_color math; normals = g)."""
     z = (
@@ -326,6 +419,55 @@ def _color_forward(spec, named, x_raw, g, dirs, feat):
 # ---------------------------------------------------------------------------
 # backward kernel
 # ---------------------------------------------------------------------------
+
+
+def _color_recompute(cs, named, x_raw, g, dirs, feat):
+    """Color-MLP primal stack (activations + raw head) for the backward."""
+    z0 = (
+        _dot(x_raw, named["c_wx"][...])
+        + _dot(g, named["c_wn"][...])
+        + _dot(dirs, named["c_wv"][...])
+        + _dot(feat, named["c_wf"][...])
+        + named["c_b0"][...]
+    )
+    acts_c = [jnp.maximum(z0, 0.0)]
+    for i in range(1, cs.n_hidden):
+        z = _dot(acts_c[-1], named[f"c_w{i}"][...]) + named[f"c_b{i}"][...]
+        acts_c.append(jnp.maximum(z, 0.0))
+    head_raw = _dot(acts_c[-1], named["c_whead"][...]) + named["c_bhead"][...]
+    return acts_c, head_raw
+
+
+def _color_reverse(cs, named, gnamed, crgb, head_raw, acts_c,
+                   x_raw, g, dirs, feat):
+    """fused_color._bwd_kernel math: accumulate the color-net weight grads
+    and return the input cots (cx_rgb, cg_rgb, cd_rgb, cf)."""
+    B, W = crgb.shape
+    cot = jnp.concatenate(
+        [crgb, jnp.zeros((B, 8 - W), jnp.float32)], axis=1
+    ) if W < 8 else crgb
+    if cs.squeeze_out:
+        sig = jax.nn.sigmoid(head_raw)
+        cot = cot * sig * (1.0 - sig)
+    gnamed["dc_whead"][...] += _dotB(acts_c[-1], cot)
+    gnamed["dc_bhead"][...] += jnp.sum(cot, axis=0, keepdims=True)
+    ca = _dotT(cot, named["c_whead"][...])
+    for i in reversed(range(1, cs.n_hidden)):
+        cz = ca * (acts_c[i] > 0.0).astype(jnp.float32)
+        gnamed[f"dc_w{i}"][...] += _dotB(acts_c[i - 1], cz)
+        gnamed[f"dc_b{i}"][...] += jnp.sum(cz, axis=0, keepdims=True)
+        ca = _dotT(cz, named[f"c_w{i}"][...])
+    cz0 = ca * (acts_c[0] > 0.0).astype(jnp.float32)
+    gnamed["dc_wx"][...] += _dotB(x_raw, cz0)
+    gnamed["dc_wn"][...] += _dotB(g, cz0)
+    gnamed["dc_wv"][...] += _dotB(dirs, cz0)
+    gnamed["dc_wf"][...] += _dotB(feat, cz0)
+    gnamed["dc_b0"][...] += jnp.sum(cz0, axis=0, keepdims=True)
+    cx_rgb = _dotT(cz0, named["c_wx"][...])
+    cg_rgb = _dotT(cz0, named["c_wn"][...])
+    cd_rgb = _dotT(cz0, named["c_wv"][...])
+    cf = _dotT(cz0, named["c_wf"][...])  # cot on feat (pad cols zero)
+    return cx_rgb, cg_rgb, cd_rgb, cf
 
 
 def _bwd_kernel(spec: FusedNeuSSpec, *refs):
@@ -371,45 +513,12 @@ def _bwd_kernel(spec: FusedNeuSSpec, *refs):
     sdf = sdf_in_ref[...]
     g = g_in_ref[...]
 
-    z0 = (
-        _dot(x_raw, named["c_wx"][...])
-        + _dot(g, named["c_wn"][...])
-        + _dot(dirs, named["c_wv"][...])
-        + _dot(feat, named["c_wf"][...])
-        + named["c_b0"][...]
-    )
-    acts_c = [jnp.maximum(z0, 0.0)]
-    for i in range(1, cs.n_hidden):
-        z = _dot(acts_c[-1], named[f"c_w{i}"][...]) + named[f"c_b{i}"][...]
-        acts_c.append(jnp.maximum(z, 0.0))
-    head_raw = _dot(acts_c[-1], named["c_whead"][...]) + named["c_bhead"][...]
+    acts_c, head_raw = _color_recompute(cs, named, x_raw, g, dirs, feat)
 
     # ---- color reverse (fused_color._bwd_kernel math) ------------------
-    W = crgb.shape[1]
-    cot = jnp.concatenate(
-        [crgb, jnp.zeros((B, 8 - W), jnp.float32)], axis=1
-    ) if W < 8 else crgb
-    if cs.squeeze_out:
-        sig = jax.nn.sigmoid(head_raw)
-        cot = cot * sig * (1.0 - sig)
-    gnamed["dc_whead"][...] += _dotB(acts_c[-1], cot)
-    gnamed["dc_bhead"][...] += jnp.sum(cot, axis=0, keepdims=True)
-    ca = _dotT(cot, named["c_whead"][...])
-    for i in reversed(range(1, cs.n_hidden)):
-        cz = ca * (acts_c[i] > 0.0).astype(jnp.float32)
-        gnamed[f"dc_w{i}"][...] += _dotB(acts_c[i - 1], cz)
-        gnamed[f"dc_b{i}"][...] += jnp.sum(cz, axis=0, keepdims=True)
-        ca = _dotT(cz, named[f"c_w{i}"][...])
-    cz0 = ca * (acts_c[0] > 0.0).astype(jnp.float32)
-    gnamed["dc_wx"][...] += _dotB(x_raw, cz0)
-    gnamed["dc_wn"][...] += _dotB(g, cz0)
-    gnamed["dc_wv"][...] += _dotB(dirs, cz0)
-    gnamed["dc_wf"][...] += _dotB(feat, cz0)
-    gnamed["dc_b0"][...] += jnp.sum(cz0, axis=0, keepdims=True)
-    cx_rgb = _dotT(cz0, named["c_wx"][...])
-    cg_rgb = _dotT(cz0, named["c_wn"][...])
-    cd_rgb = _dotT(cz0, named["c_wv"][...])
-    cf = _dotT(cz0, named["c_wf"][...])  # cot on feat (pad cols zero)
+    cx_rgb, cg_rgb, cd_rgb, cf = _color_reverse(
+        cs, named, gnamed, crgb, head_raw, acts_c, x_raw, g, dirs, feat
+    )
 
     # ---- alpha + eikonal chains: in-kernel jax.vjp ----------------------
     def chain(s_, g_, d_, t_, iv):
@@ -437,6 +546,99 @@ def _bwd_kernel(spec: FusedNeuSSpec, *refs):
     dsc_ref[...] += jnp.where(lane == 0, civs, 0.0)  # civs (1,1) broadcasts
 
     # ---- SDF reverse: forward-over-reverse (fused_sdf._bwd_kernel) ------
+    dx = _sdf_reverse(ss, named, gnamed, st, comp, cs_tot, v, cf) + cx_rgb
+
+    # ---- point/dir cots -> ray cots (reduce over samples in-kernel) -----
+    _ray_cots(spec, d_ref, z_ref, dx, c_dirs, do_ref, dd_ref, dz_ref)
+
+
+def _bwd_kernel_ray(spec: FusedNeuSSpec, *refs):
+    """Backward for the per-ray forward: cotangents arrive PER RAY
+    (colorW (Rb, W), normals_w (Rb, 3), wsum (Rb, 1)) plus the eikonal
+    scalar; one in-kernel jax.vjp differentiates the alpha chain AND the
+    compositing jointly, then the shared color/SDF reverse machinery runs
+    exactly as in _bwd_kernel."""
+    ss, cs = spec.sdf, spec.color
+    (o_ref, d_ref, z_ref, t_ref, sc_ref, sdf_in_ref, g_in_ref, ccol_ref,
+     cnw_ref, cws_ref, ceik_ref) = refs[:11]
+    consts = [r[...] for r in refs[11:16]]
+    comp = consts[0]
+    s_names = _sdf_w_names(ss)
+    c_names = [f"c_{nm}" for nm in fused_color._name_list(cs)]
+    n_w = len(s_names) + len(c_names)
+    named = dict(zip(s_names + c_names, refs[16 : 16 + n_w]))
+    outs = refs[16 + n_w:]
+    do_ref, dd_ref, dz_ref, dt_ref, dsc_ref = outs[:5]
+    gnames = [f"d{nm}" for nm in s_names] + [f"d{nm}" for nm in c_names]
+    gnamed = dict(zip(gnames, outs[5:]))
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dsc_ref[...] = jnp.zeros(dsc_ref.shape, dsc_ref.dtype)
+        for rr in outs[5:]:
+            rr[...] = jnp.zeros(rr.shape, rr.dtype)
+
+    x_raw, dirs = _block_points(spec, o_ref, d_ref, z_ref)
+    dist = t_ref[...]
+    inv_s = sc_ref[...][0:1, 0:1]
+    r = sc_ref[...][0:1, 1:2]
+
+    c_col = ccol_ref[...]
+    c_nw = cnw_ref[...]
+    c_ws = cws_ref[...]
+    c_num = ceik_ref[...][0:1, 0:1]
+
+    # ---- recompute forward states (no reverse sweep: residuals) --------
+    st = _sdf_forward_states(ss, named, x_raw, consts, need_gradient=False)
+    feat = st["feat"]
+    sdf = sdf_in_ref[...]
+    g = g_in_ref[...]
+
+    acts_c, head_raw = _color_recompute(cs, named, x_raw, g, dirs, feat)
+    rgb = head_raw[:, : c_col.shape[1]]
+    if cs.squeeze_out:
+        rgb = jax.nn.sigmoid(rgb)
+
+    # ---- alpha chain + compositing: ONE in-kernel jax.vjp --------------
+    def chain_comp(s_, g_, d_, t_, iv, rgb_):
+        alpha_, _ = _alpha_chain(s_, g_, d_, t_, iv, r)
+        return _composite_ray(spec, alpha_, rgb_, g_)
+
+    _, vjp_c = jax.vjp(chain_comp, sdf, g, dirs, dist, inv_s, rgb)
+    cs_a, cg_a, cd_a, ct_a, civs, crgb = vjp_c((c_col, c_nw, c_ws))
+
+    pts_norm = jnp.sqrt(jnp.sum(x_raw * x_raw, axis=-1, keepdims=True))
+    relax = (pts_norm < 1.2).astype(jnp.float32)
+
+    def eik_num(g_):
+        n, _ = _eik_terms(g_, relax)
+        return n
+
+    _, vjp_e = jax.vjp(eik_num, g)
+    (cg_eik,) = vjp_e(c_num)
+
+    # ---- color reverse -------------------------------------------------
+    # crgb is the cot on POST-sigmoid rgb — same convention as _bwd_kernel
+    cx_rgb, cg_rgb, cd_rgb, cf = _color_reverse(
+        cs, named, gnamed, crgb, head_raw, acts_c, x_raw, g, dirs, feat
+    )
+
+    # ---- totals + SDF reverse + ray cots (shared machinery) ------------
+    cs_tot = cs_a / ss.scale
+    v = cg_rgb + cg_a + cg_eik
+    c_dirs = cd_rgb + cd_a
+    dt_ref[...] = ct_a
+    lane = jax.lax.broadcasted_iota(jnp.int32, dsc_ref.shape, 1)
+    dsc_ref[...] += jnp.where(lane == 0, civs, 0.0)
+
+    dx = _sdf_reverse(ss, named, gnamed, st, comp, cs_tot, v, cf) + cx_rgb
+    _ray_cots(spec, d_ref, z_ref, dx, c_dirs, do_ref, dd_ref, dz_ref)
+
+
+def _sdf_reverse(ss, named, gnamed, st, comp, cs_tot, v, cf):
+    """Forward-over-reverse SDF machinery (fused_sdf._bwd_kernel math):
+    accumulate SDF-net weight grads; return the point cot (B, 3) in RAW
+    point units EXCLUDING the color path's direct x contribution."""
     e, de, dde = st["e"], st["de"], st["dde"]
     a_list, p_list = st["a_list"], st["p_list"]
     n_hidden = ss.n_hidden
@@ -501,9 +703,13 @@ def _bwd_kernel(spec: FusedNeuSSpec, *refs):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    dx = cx3 * ss.scale + cx_rgb  # cot on raw points (B, 3)
+    return cx3 * ss.scale  # cot on raw points (B, 3), color path excluded
 
-    # ---- point/dir cots -> ray cots (reduce over samples in-kernel) -----
+
+def _ray_cots(spec, d_ref, z_ref, dx, c_dirs, do_ref, dd_ref, dz_ref):
+    """Reduce per-point (B, 3) point/dir cots over samples to ray cots."""
+    Rb, S = spec.rays_per_block, spec.samples
+    B = Rb * S
     d_full = jnp.broadcast_to(
         d_ref[...][:, None, :], (Rb, S, 3)
     ).reshape(B, 3)
@@ -600,6 +806,88 @@ def _run_fwd(spec: FusedNeuSSpec, s_weights, c_weights, ro, rd, z, dists, sc):
         interpret=jax.default_backend() != "tpu",
     )(ro, rd, z, dists, sc, *consts, *w_args)
     return outs
+
+
+def _run_fwd_ray(spec: FusedNeuSSpec, s_weights, c_weights, ro, rd, z,
+                 dists, sc):
+    P = z.shape[0]
+    Rp = ro.shape[0]
+    consts = [jnp.asarray(c) for c in _pe_constants(spec.sdf)]
+    w_args = _weight_args(spec, s_weights, c_weights)
+    W = _rgb_width(spec)
+    outs = pl.pallas_call(
+        functools.partial(_fwd_kernel_ray, spec),
+        grid=(P // spec.block,),
+        in_specs=[_rblk(spec, 3), _rblk(spec, 3), _blk(spec, 1),
+                  _blk(spec, 1), _full(sc)]
+        + [_full(c) for c in consts]
+        + [_full(w) for w in w_args],
+        out_specs=(_rblk(spec, W), _rblk(spec, 3), _rblk(spec, 1),
+                   _blk(spec, 1), _blk(spec, 3), _acc((1, LANE))),
+        out_shape=(
+            jax.ShapeDtypeStruct((Rp, W), jnp.float32),
+            jax.ShapeDtypeStruct((Rp, 3), jnp.float32),
+            jax.ShapeDtypeStruct((Rp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((P, 1), jnp.float32),
+            jax.ShapeDtypeStruct((P, 3), jnp.float32),
+            jax.ShapeDtypeStruct((1, LANE), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(ro, rd, z, dists, sc, *consts, *w_args)
+    return outs
+
+
+def _run_bwd_ray(spec: FusedNeuSSpec, s_weights, c_weights, ro, rd, z, dists,
+                 sc, sdf_fwd, g_fwd, c_col, c_nw, c_ws, c_eik):
+    P = z.shape[0]
+    Rp = ro.shape[0]
+    consts = [jnp.asarray(c) for c in _pe_constants(spec.sdf)]
+    w_args = _weight_args(spec, s_weights, c_weights)
+    s_gnames = _sdf_w_names(spec.sdf)
+    c_gnames = fused_color._name_list(spec.color)
+    grad_shapes = [s_weights[nm].shape for nm in s_gnames] + [
+        c_weights[nm].shape for nm in c_gnames
+    ]
+    out_specs = [_rblk(spec, 3), _rblk(spec, 3), _blk(spec, 1), _blk(spec, 1),
+                 _acc((1, LANE))] + [_acc(s) for s in grad_shapes]
+    out_shape = (
+        [
+            jax.ShapeDtypeStruct((Rp, 3), jnp.float32),
+            jax.ShapeDtypeStruct((Rp, 3), jnp.float32),
+            jax.ShapeDtypeStruct((P, 1), jnp.float32),
+            jax.ShapeDtypeStruct((P, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, LANE), jnp.float32),
+        ]
+        + [jax.ShapeDtypeStruct(s, jnp.float32) for s in grad_shapes]
+    )
+    W = _rgb_width(spec)
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel_ray, spec),
+        grid=(P // spec.block,),
+        in_specs=[_rblk(spec, 3), _rblk(spec, 3), _blk(spec, 1), _blk(spec, 1),
+                  _full(sc), _blk(spec, 1), _blk(spec, 3),
+                  _rblk(spec, W), _rblk(spec, 3), _rblk(spec, 1),
+                  _full(c_eik)]
+        + [_full(c) for c in consts]
+        + [_full(w) for w in w_args],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(ro, rd, z, dists, sc, sdf_fwd, g_fwd, c_col, c_nw, c_ws, c_eik,
+      *consts, *w_args)
+    do, dd, dz, dt, dsc = outs[:5]
+    gs = outs[5:]
+    d_s = dict(zip(s_gnames, gs[: len(s_gnames)]))
+    d_c = dict(zip(c_gnames, gs[len(s_gnames):]))
+    return do, dd, dz, dt, dsc, d_s, d_c
 
 
 def _run_bwd(spec: FusedNeuSSpec, s_weights, c_weights, ro, rd, z, dists, sc,
@@ -718,6 +1006,125 @@ def _fused_core_bwd(spec, res, cots):
 
 
 _fused_core.defvjp(_fused_core_fwd, _fused_core_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _fused_core_ray(weights, rays, z, dists, sc, spec):
+    """Per-ray-output megakernel core. Returns (colorW (Rp, 3|6),
+    normals_w (Rp, 3), wsum (Rp, 1), eik (1, LANE)). The per-point
+    (sdf, grad) kernel outputs exist only as backward residuals and are
+    NOT differentiable outputs."""
+    outs = _run_fwd_ray(spec, weights["s"], weights["c"], *rays, z, dists, sc)
+    return outs[0], outs[1], outs[2], outs[5]
+
+
+def _fused_core_ray_fwd(weights, rays, z, dists, sc, spec):
+    outs = _run_fwd_ray(spec, weights["s"], weights["c"], *rays, z, dists, sc)
+    colW, nw, ws, sdf_fwd, g_fwd, eik = outs
+    return (colW, nw, ws, eik), (weights, rays, z, dists, sc, sdf_fwd, g_fwd)
+
+
+def _fused_core_ray_bwd(spec, res, cots):
+    weights, rays, z, dists, sc, sdf_fwd, g_fwd = res
+    ro, rd = rays
+    c_col, c_nw, c_ws, c_eik = cots
+    do, dd, dz, dt, dsc, d_s, d_c = _run_bwd_ray(
+        spec, weights["s"], weights["c"], ro, rd, z, dists, sc,
+        sdf_fwd, g_fwd, c_col, c_nw, c_ws, c_eik
+    )
+    d_s["ws_a"] = jnp.zeros_like(weights["s"]["ws_a"])
+    d_s["ws_e"] = jnp.zeros_like(weights["s"]["ws_e"])
+    return {"s": d_s, "c": d_c}, (do, dd), dz, dt, dsc
+
+
+_fused_core_ray.defvjp(_fused_core_ray_fwd, _fused_core_ray_bwd)
+
+
+def composite_flops_per_point(spec: FusedNeuSSpec) -> tuple[float, float]:
+    """(forward, backward) extra in-kernel MXU FLOPs per point of the
+    per-ray variant's fused compositing: the two U/V lane-transpose dots
+    (the scan/reductions are negligible VPU work, counted separately via
+    fused_composite.kernel_flops_per_ray). The backward's in-kernel vjp
+    re-runs the forward chain and adds the transposed dots (~2x forward).
+    Hardware-ledger-only — the transposes are layout work, not model
+    FLOPs. ~1% of the MLP work."""
+    Rb, S = spec.rays_per_block, spec.samples
+    B = Rb * S
+    fwd = 2.0 * (2.0 * Rb * B * S) / B
+    return fwd, 2.0 * fwd
+
+
+def point_eval_fused_ray(
+    sdf_params, sdf_cfg, color_params, color_cfg,
+    rays_o, rays_d, mid_z, dists, inv_s, cos_anneal_ratio,
+):
+    """Per-ray-output variant of point_eval_fused for TRAINING steps: the
+    per-ray compositing (renderer.py:250-266) runs inside the forward and
+    backward kernels, so no per-point stream except the (sdf, grad)
+    backward residuals ever touches HBM, and no (P, 1) <-> (R, S)
+    relayouts exist at the kernel boundary.
+
+    Returns (colorW (R, 3|6), normals_w (R, 3), weight_sum (R, 1),
+    gradient_error scalar). Per-sample quantities (weights, cdf, ...) are
+    not produced — eval/validation paths use point_eval_fused or the XLA
+    path instead."""
+    R, S = mid_z.shape
+    spec = spec_from_configs(sdf_cfg, color_cfg, S)
+    s_weights = fused_sdf.dense_weights(
+        sdf_params, fused_sdf.spec_from_config(sdf_cfg)
+    )
+    c_weights = fused_color.dense_weights(
+        color_params, fused_color.spec_from_config(color_cfg)
+    )
+    sc = jnp.zeros((1, LANE), jnp.float32)
+    sc = sc.at[0, 0].set(inv_s).at[0, 1].set(
+        jnp.asarray(cos_anneal_ratio, jnp.float32)
+    )
+    from ..parallel import mesh as pmesh
+
+    mesh = pmesh.data_mesh()
+    n_dev = mesh.size
+    granule = spec.rays_per_block * (n_dev if n_dev > 1 else 1)
+    P = R * S
+    z = mid_z.reshape(P, 1)
+    t = dists.reshape(P, 1)
+    ro = rays_o.astype(jnp.float32)
+    rd = rays_d.astype(jnp.float32)
+    rpad = (-R) % granule
+    if rpad:
+        # padded rays: |o| = 10 (outside the relax sphere), d = 0 -> their
+        # alpha/weights contribute only to their own (sliced-off) per-ray
+        # outputs; the compositing scan never crosses ray boundaries
+        pad_o = jnp.zeros((rpad, 3), jnp.float32).at[:, 0].set(10.0)
+        ro = jnp.concatenate([ro, pad_o], 0)
+        rd = jnp.concatenate([rd, jnp.zeros((rpad, 3), jnp.float32)], 0)
+        zp = jnp.zeros((rpad * S, 1), jnp.float32)
+        z = jnp.concatenate([z, zp], 0)
+        t = jnp.concatenate([t, zp], 0)
+    weights = {"s": s_weights, "c": c_weights}
+    if n_dev > 1:
+        from jax.sharding import PartitionSpec as PS
+
+        def mapped(w, ro_, rd_, z_, t_, sc_):
+            colW_, nw_, ws_, eik_ = _fused_core_ray(
+                w, (ro_, rd_), z_, t_, sc_, spec
+            )
+            eik_ = jax.lax.psum(eik_, "data")
+            return colW_, nw_, ws_, eik_
+
+        colW, nw, ws, eik = jax.shard_map(
+            mapped, mesh=mesh,
+            in_specs=(PS(), PS("data"), PS("data"), PS("data"), PS("data"),
+                      PS()),
+            out_specs=(PS("data"),) * 3 + (PS(),),
+            check_vma=False,
+        )(weights, ro, rd, z, t, sc)
+    else:
+        colW, nw, ws, eik = _fused_core_ray(weights, (ro, rd), z, t, sc, spec)
+    if rpad:
+        colW, nw, ws = colW[:R], nw[:R], ws[:R]
+    gradient_error = eik[0, 0] / (eik[0, 1] + 1e-5)
+    return colW, nw, ws, gradient_error
 
 
 def point_eval_fused(

@@ -206,15 +206,19 @@ def _kernel_path_1_vs_n(n_devices: int) -> None:
     rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     z_vals = jnp.linspace(1.0, 3.0, ncfg.n_samples)[None, :].repeat(R, 0)
 
-    def loss(p):
-        out = neus.render_core(
-            p, ncfg, cfgs, rays_o, rays_d, z_vals,
-            sample_dist=2.0 / ncfg.n_samples, cos_anneal_ratio=0.5,
-        )
-        return (
-            jnp.sum(out["color"]) + jnp.sum(out["extra_color"])
-            + out["gradient_error"]
-        )
+    def make_loss(per_ray):
+        def loss(p):
+            out = neus.render_core(
+                p, ncfg, cfgs, rays_o, rays_d, z_vals,
+                sample_dist=2.0 / ncfg.n_samples, cos_anneal_ratio=0.5,
+                per_ray=per_ray,
+            )
+            return (
+                jnp.sum(out["color"]) + jnp.sum(out["extra_color"])
+                + out["gradient_error"]
+            )
+
+        return loss
 
     neus._FORCE_MEGA = True
     try:
@@ -222,7 +226,11 @@ def _kernel_path_1_vs_n(n_devices: int) -> None:
         for n in (1, n_devices):
             pmesh.set_default_mesh(pmesh.data_mesh(n))
             try:
-                grads[n] = jax.grad(loss)(params)
+                # both kernel variants: point-level (eval) and the per-ray
+                # in-kernel-compositing variant the train steps use
+                grads[n] = tuple(
+                    jax.grad(make_loss(pr))(params) for pr in (False, True)
+                )
             finally:
                 pmesh.set_default_mesh(None)
     finally:

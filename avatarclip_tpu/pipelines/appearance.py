@@ -453,10 +453,14 @@ class Runner:
             mask_sum = mask.sum() + 1e-5
 
             def loss_fn(p):
+                # per_ray: fused-kernel path returns per-ray outputs only
+                # (compositing runs inside the megakernel); the photometric
+                # loss consumes nothing per-sample
                 out = neus.render(
                     p, ncfg, cfgs, rays_o, rays_d, near, far, rng=k3,
                     background_rgb=background_rgb,
                     cos_anneal_ratio=cos_anneal_ratio(tc, it),
+                    per_ray=True,
                 )
                 color_fine = out["color_fine"]
                 color_error = (color_fine - true_rgb) * mask
@@ -605,10 +609,13 @@ class Runner:
             n_total = ncfg.n_samples + ncfg.n_importance
 
             def render_fn(p, ro, rd, nr, fr, bg):
+                # per_ray: the megakernel composites in-kernel and returns
+                # per-ray outputs only — everything this loss consumes
                 return neus.render(
                     p, ncfg, cfgs, ro, rd, nr, fr, rng=ks[8],
                     background_rgb=bg,
                     cos_anneal_ratio=cos_anneal_ratio(tc, it),
+                    per_ray=True,
                 )
 
             if tc.remat == "full":

@@ -290,8 +290,14 @@ def render_core(
     background_sampled_color: jnp.ndarray | None = None,
     background_rgb: jnp.ndarray | None = None,
     cos_anneal_ratio: float | jnp.ndarray = 0.0,
+    per_ray: bool = False,
 ):
-    """Core SDF -> alpha -> composite pass (renderer.py:195-300)."""
+    """Core SDF -> alpha -> composite pass (renderer.py:195-300).
+
+    ``per_ray=True`` (training steps) selects the per-ray-output megakernel
+    variant when the fused path is active: compositing runs inside the
+    kernel and the returned dict carries per-ray quantities only
+    (weights/cdf/per-sample arrays are None). No effect on the XLA path."""
     R, S = z_vals.shape
 
     dists = z_vals[..., 1:] - z_vals[..., :-1]
@@ -327,7 +333,7 @@ def render_core(
     if use_mega:
         return _render_core_fused(
             params, cfg, cfgs, rays_o, rays_d, mid_z, dists, inv_s,
-            cos_anneal_ratio, background_rgb, R, S,
+            cos_anneal_ratio, background_rgb, R, S, per_ray=per_ray,
         )
 
     pts = (rays_o[:, None, :] + rays_d[:, None, :] * mid_z[..., None]).reshape(-1, 3)
@@ -420,12 +426,43 @@ def render_core(
 
 def _render_core_fused(
     params, cfg, cfgs, rays_o, rays_d, mid_z, dists, inv_s,
-    cos_anneal_ratio, background_rgb, R: int, S: int,
+    cos_anneal_ratio, background_rgb, R: int, S: int, per_ray: bool = False,
 ):
     """render_core's tail when the fused NeuS point kernel carries the
     per-point pipeline: only the per-ray compositing (cumprod, weighted
-    sums — renderer.py:250-266) stays in XLA."""
+    sums — renderer.py:250-266) stays in XLA — or, with ``per_ray``, runs
+    inside the kernel too and no per-point stream reaches HBM."""
     from ..ops import fused_composite, fused_neus
+
+    if per_ray:
+        colW, normals_w, weight_sum, gradient_error = (
+            fused_neus.point_eval_fused_ray(
+                params["sdf"], cfgs.sdf, params["color"], cfgs.color,
+                rays_o, rays_d, mid_z, dists, inv_s, cos_anneal_ratio,
+            )
+        )
+        color = colW[:, :3]
+        extra_color = colW[:, 3:6] if cfg.extra_color else None
+        if background_rgb is not None:
+            if cfg.extra_color:
+                extra_color = extra_color + background_rgb * (1.0 - weight_sum)
+            else:
+                color = color + background_rgb * (1.0 - weight_sum)
+        return {
+            "color": color,
+            "extra_color": extra_color,
+            "sdf": None,
+            "dists": dists,
+            "gradients": None,
+            "s_val": 1.0 / inv_s,
+            "mid_z_vals": mid_z,
+            "weights": None,
+            "weight_sum": weight_sum,
+            "cdf": None,
+            "gradient_error": gradient_error,
+            "inside_sphere": None,
+            "normals_weighted": normals_w,
+        }
 
     sdf, gradients, raw_color, alpha_f, cdf_f, inside_f, gradient_error = (
         fused_neus.point_eval_fused(
@@ -482,8 +519,14 @@ def render(
     background_rgb: jnp.ndarray | None = None,
     cos_anneal_ratio: float | jnp.ndarray = 0.0,
     perturb_overwrite: int = -1,
+    per_ray: bool = False,
 ):
-    """Full hierarchical render (renderer.py:302-397). rng=None => no jitter."""
+    """Full hierarchical render (renderer.py:302-397). rng=None => no jitter.
+
+    ``per_ray=True`` is for training steps on the fused-kernel path: the
+    output dict then carries only the per-ray keys the losses consume
+    (color_fine, extra_color_fine, weight_sum, normals_weighted,
+    gradient_error, s_val) — per-sample keys are None."""
     R = rays_o.shape[0]
     sample_dist = 2.0 / cfg.n_samples
     z_vals = jnp.linspace(0.0, 1.0, cfg.n_samples)
@@ -571,9 +614,16 @@ def render(
         background_sampled_color=background_sampled_color,
         background_rgb=background_rgb,
         cos_anneal_ratio=cos_anneal_ratio,
+        per_ray=per_ray,
     )
 
     weights = ret["weights"]
+    if weights is None:  # per-ray fused path: weight_sum came pre-reduced
+        weight_sum = ret["weight_sum"]
+        weight_max = None
+    else:
+        weight_sum = jnp.sum(weights, axis=-1, keepdims=True)
+        weight_max = jnp.max(weights, axis=-1, keepdims=True)
     out = {
         "color_fine": ret["color"],
         "extra_color_fine": ret["extra_color"],
@@ -581,8 +631,8 @@ def render(
             ret["s_val"].reshape(1, 1), (R, 1)
         ),
         "cdf_fine": ret["cdf"],
-        "weight_sum": jnp.sum(weights, axis=-1, keepdims=True),
-        "weight_max": jnp.max(weights, axis=-1, keepdims=True),
+        "weight_sum": weight_sum,
+        "weight_max": weight_max,
         "gradients": ret["gradients"],
         "weights": weights,
         "mid_z_vals": ret["mid_z_vals"],

@@ -163,6 +163,10 @@ def main():
                         mf, mb = fused_neus.kernel_model_flops_per_point(spec)
                         hw += P * (kf + kb)
                         model += P * (mf + mb)
+                        # compositing now runs INSIDE the megakernel on the
+                        # per-ray train path: same elementwise model work
+                        # (scan + weighted sums), plus hw-only U/V
+                        # lane-transpose dots
                         cspec = fused_composite.CompositeSpec(
                             samples=n_total,
                             rgb_width=6 if runner.extra_color else 3,
@@ -170,6 +174,8 @@ def main():
                         cf, cb = fused_composite.kernel_flops_per_ray(cspec)
                         hw += Rp * (cf + cb)
                         model += Rp * (cf + cb)
+                        uvf, uvb = fused_neus.composite_flops_per_point(spec)
+                        hw += P * (uvf + uvb)
                     if on_tpu:
                         rz = raster_zbuffer.analytic_flops(GT * GT, n_faces)
                         hw += rz

@@ -126,6 +126,140 @@ def test_vjp_matches_pure(setup, monkeypatch):
         )
 
 
+def _core_ray(params, cfg, cfgs, rays_o, rays_d, z_vals, force):
+    neus._FORCE_MEGA = force
+    try:
+        return neus.render_core(
+            params, cfg, cfgs, rays_o, rays_d, z_vals,
+            sample_dist=2.0 / cfg.n_samples, cos_anneal_ratio=0.3,
+            per_ray=True,
+        )
+    finally:
+        neus._FORCE_MEGA = None
+
+
+def test_per_ray_forward_matches_pure(setup, monkeypatch):
+    """The per-ray train variant (compositing fused into the megakernel,
+    U/V lane-transpose dots + in-kernel scan) must reproduce the pure XLA
+    compositing exactly (f32 tolerance)."""
+    monkeypatch.setattr(fused_sdf, "_OPERAND_DTYPE", jnp.float32)
+    cfg, cfgs, params, rays_o, rays_d, z_vals = setup
+    out_f = _core_ray(params, cfg, cfgs, rays_o, rays_d, z_vals, True)
+    out_p = _core(params, cfg, cfgs, rays_o, rays_d, z_vals, False)
+    np.testing.assert_allclose(
+        np.asarray(out_f["color"]), np.asarray(out_p["color"]),
+        atol=2e-5, rtol=1e-4,
+    )
+    if out_p["extra_color"] is not None:
+        np.testing.assert_allclose(
+            np.asarray(out_f["extra_color"]), np.asarray(out_p["extra_color"]),
+            atol=2e-5, rtol=1e-4,
+        )
+    np.testing.assert_allclose(
+        np.asarray(out_f["weight_sum"][:, 0]),
+        np.asarray(out_p["weights"].sum(-1)),
+        atol=2e-5, rtol=1e-4,
+    )
+    nw = (out_p["gradients"] * out_p["weights"][..., None]).sum(axis=1)
+    np.testing.assert_allclose(
+        np.asarray(out_f["normals_weighted"]), np.asarray(nw),
+        atol=2e-5, rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        float(out_f["gradient_error"]), float(out_p["gradient_error"]),
+        atol=2e-5, rtol=1e-4,
+    )
+    # per-sample keys are deliberately absent on the per-ray path
+    assert out_f["weights"] is None and out_f["sdf"] is None
+
+
+def test_per_ray_vjp_matches_pure(setup, monkeypatch):
+    """Full reverse-mode equivalence of the per-ray variant through every
+    loss-consumed output: params (incl. variance), rays and z_vals."""
+    monkeypatch.setattr(fused_sdf, "_OPERAND_DTYPE", jnp.float32)
+    cfg, cfgs, params, rays_o, rays_d, z_vals = setup
+    probes = jax.random.normal(jax.random.PRNGKey(9), (4,))
+
+    def loss(per_ray):
+        def f(p, ro, rd, zv):
+            if per_ray:
+                out = _core_ray(p, cfg, cfgs, ro, rd, zv, True)
+                ws = out["weight_sum"][:, 0]
+                nw = out["normals_weighted"]
+            else:
+                out = _core(p, cfg, cfgs, ro, rd, zv, False)
+                ws = out["weights"].sum(-1)
+                nw = (out["gradients"] * out["weights"][..., None]).sum(1)
+            l = (
+                jnp.sum(out["color"] * probes[0])
+                + jnp.sum(ws * probes[1])
+                + jnp.sum(nw * probes[2])
+                + out["gradient_error"]
+            )
+            if out["extra_color"] is not None:
+                l = l + jnp.sum(out["extra_color"] * probes[3])
+            return l
+
+        return f
+
+    g_f = jax.grad(loss(True), argnums=(0, 1, 2, 3))(
+        params, rays_o, rays_d, z_vals
+    )
+    g_p = jax.grad(loss(False), argnums=(0, 1, 2, 3))(
+        params, rays_o, rays_d, z_vals
+    )
+    leaves_f, tree_f = jax.tree_util.tree_flatten(g_f)
+    leaves_p, tree_p = jax.tree_util.tree_flatten(g_p)
+    assert tree_f == tree_p
+    for a, b in zip(leaves_f, leaves_p):
+        scale = max(1.0, float(jnp.abs(b).max()))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4 * scale, rtol=2e-3
+        )
+
+
+def test_per_ray_1_vs_8_device_mesh(setup, monkeypatch):
+    """1-vs-8 gradient equality through the per-ray shard_map path."""
+    import numpy as _np
+    from jax.sharding import Mesh
+
+    from avatarclip_tpu.parallel import mesh as pmesh
+
+    monkeypatch.setattr(fused_sdf, "_OPERAND_DTYPE", jnp.float32)
+    cfg, cfgs, params, rays_o, rays_d, z_vals = setup
+    devs = jax.devices()
+    assert len(devs) >= 8
+
+    def grads_on(n_dev):
+        pmesh.set_default_mesh(Mesh(_np.array(devs[:n_dev]), ("data",)))
+        try:
+
+            def loss(p, ro, rd, zv):
+                out = _core_ray(p, cfg, cfgs, ro, rd, zv, True)
+                l = (
+                    jnp.sum(out["color"])
+                    + jnp.sum(out["weight_sum"])
+                    + jnp.sum(out["normals_weighted"]) * 1e-2
+                    + out["gradient_error"]
+                )
+                if out["extra_color"] is not None:
+                    l = l + jnp.sum(out["extra_color"])
+                return l
+
+            return jax.grad(loss)(params, rays_o, rays_d, z_vals)
+        finally:
+            pmesh.set_default_mesh(None)
+
+    g1 = grads_on(1)
+    g8 = grads_on(8)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g8)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
+        )
+
+
 def test_bf16_close(setup):
     """With the production bf16 operand dtype the kernel path must stay
     within bf16-roundoff of the pure (bf16-matmul) path."""
