@@ -37,8 +37,10 @@ over samples in-kernel; weight and inv_s gradients accumulate into
 revisited output blocks across the sequential grid.
 
 custom_vjp boundary: dense weights (weight-norm resolution stays in
-differentiable XLA), rays_o/rays_d, flat mid-z and dists, and the
-[inv_s, cos_anneal] scalar pack.
+differentiable XLA), rays_o/rays_d, mid-z and dists (point-major (P, 1)
+for the point-level kernels, ray-major (R, S) for the per-ray variant —
+the sampler's native layout, so no XLA relayout copies exist at the
+boundary), and the [inv_s, cos_anneal] scalar pack.
 """
 
 from __future__ import annotations
@@ -244,12 +246,11 @@ def _sdf_forward_states(spec, named, x_raw, consts, need_gradient=True):
     }
 
 
-def _block_points(spec: FusedNeuSSpec, o_ref, d_ref, z_ref):
-    """rays (Rb, 3) + flat z (B, 1) -> per-point (pts, dirs) in VMEM."""
+def _block_points(spec: FusedNeuSSpec, o_ref, d_ref, z):
+    """rays (Rb, 3) + point-major z (B, 1) -> per-point (pts, dirs)."""
     Rb, S = spec.rays_per_block, spec.samples
     o = o_ref[...]
     d = d_ref[...]
-    z = z_ref[...]
     ob = jnp.broadcast_to(o[:, None, :], (Rb, S, 3)).reshape(Rb * S, 3)
     db = jnp.broadcast_to(d[:, None, :], (Rb, S, 3)).reshape(Rb * S, 3)
     return ob + db * z, db
@@ -274,7 +275,7 @@ def _fwd_kernel(spec: FusedNeuSSpec, *refs):
     def _init():
         eik_ref[...] = jnp.zeros(eik_ref.shape, eik_ref.dtype)
 
-    x_raw, dirs = _block_points(spec, o_ref, d_ref, z_ref)
+    x_raw, dirs = _block_points(spec, o_ref, d_ref, z_ref[...])
     dist = t_ref[...]
     inv_s = sc_ref[...][0:1, 0:1]  # (1,1): broadcasts; rank-0 extraction is
     r = sc_ref[...][0:1, 1:2]      # a slow/unsupported layout op on TPU
@@ -304,20 +305,12 @@ def _fwd_kernel(spec: FusedNeuSSpec, *refs):
     rgb_ref[...] = head[:, : rgb_ref.shape[1]]
 
 
-def _composite_ray(spec: FusedNeuSSpec, alpha, rgb, g):
-    """In-kernel per-ray compositing (renderer.py:250-266 + the weighted
-    normal sum of main.py:426-428), point-major inputs.
-
-    alpha (B, 1), rgb (B, 3|6), g (B, 3) with B = Rb * S, points ordered
-    ray-major. Returns (colorW (Rb, W), normals_w (Rb, 3), wsum (Rb, 1)).
-
-    Mosaic cannot reshape (B, 1) <-> (Rb, S) ("unsupported shape cast"), so
-    the lane transpose rides two tiny f32 MXU dots with constant 0/1
-    matrices: U (Rb, B) selects each ray's points, V (B, S) one-hots each
-    point's sample lane. Entries are exact (x*1 sums of one term), and the
-    per-ray reductions use (B, c) -> (Rb, S, c) leading-dim splits (the
-    direction Mosaic supports) + f32 VPU sums, so results match the
-    unfused XLA compositing to f32 tolerance."""
+def _uv_mats(spec: FusedNeuSSpec):
+    """Constant 0/1 lane-transpose matrices for the (B, 1) <-> (Rb, S)
+    conversion Mosaic cannot express as a reshape ("unsupported shape
+    cast"): U (Rb, B) selects each ray's points, V (B, S) one-hots each
+    point's sample lane. Entries are exact (x*1 sums of one term); the
+    compiler CSEs repeated builds within a kernel."""
     Rb, S = spec.rays_per_block, spec.samples
     B = Rb * S
     bcol = jax.lax.broadcasted_iota(jnp.int32, (Rb, B), 1)
@@ -326,6 +319,38 @@ def _composite_ray(spec: FusedNeuSSpec, alpha, rgb, g):
     brow = jax.lax.broadcasted_iota(jnp.int32, (B, S), 0)
     scol = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
     V = (brow % S == scol).astype(jnp.float32)
+    return U, V
+
+
+def _rs_to_pt(spec: FusedNeuSSpec, a_rs):
+    """(Rb, S) ray-major -> (B, 1) point-major, exactly, via U/V dots."""
+    U, V = _uv_mats(spec)
+    rows = jax.lax.dot_general(
+        U, a_rs, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (B, S): row p carries ray (p // S)'s sample vector
+    return jnp.sum(rows * V, axis=1, keepdims=True)
+
+
+def _pt_to_rs(spec: FusedNeuSSpec, a_pt):
+    """(B, 1) point-major -> (Rb, S) ray-major, exactly, via U/V dots."""
+    U, V = _uv_mats(spec)
+    return _dot_f32(U, a_pt * V)
+
+
+def _composite_ray(spec: FusedNeuSSpec, alpha, rgb, g):
+    """In-kernel per-ray compositing (renderer.py:250-266 + the weighted
+    normal sum of main.py:426-428), point-major inputs.
+
+    alpha (B, 1), rgb (B, 3|6), g (B, 3) with B = Rb * S, points ordered
+    ray-major. Returns (colorW (Rb, W), normals_w (Rb, 3), wsum (Rb, 1)).
+
+    The (B, 1) <-> (Rb, S) lane transposes ride the U/V dot trick
+    (`_uv_mats`); the per-ray reductions use (B, c) -> (Rb, S, c)
+    leading-dim splits (the direction Mosaic supports) + f32 VPU sums, so
+    results match the unfused XLA compositing to f32 tolerance."""
+    Rb, S = spec.rays_per_block, spec.samples
+    U, V = _uv_mats(spec)
 
     x = 1.0 - alpha + 1e-7  # (B, 1)
     X = _dot_f32(U, x * V)  # (Rb, S): X[r, s] = x[r*S + s]
@@ -371,8 +396,11 @@ def _fwd_kernel_ray(spec: FusedNeuSSpec, *refs):
     def _init():
         eik_ref[...] = jnp.zeros(eik_ref.shape, eik_ref.dtype)
 
-    x_raw, dirs = _block_points(spec, o_ref, d_ref, z_ref)
-    dist = t_ref[...]
+    # z/dists arrive RAY-MAJOR (Rb, S) — straight from the sampler's
+    # layout, no XLA relayout copy at the kernel boundary
+    z_pt = _rs_to_pt(spec, z_ref[...])
+    x_raw, dirs = _block_points(spec, o_ref, d_ref, z_pt)
+    dist = _rs_to_pt(spec, t_ref[...])
     inv_s = sc_ref[...][0:1, 0:1]
     r = sc_ref[...][0:1, 1:2]
 
@@ -491,7 +519,7 @@ def _bwd_kernel(spec: FusedNeuSSpec, *refs):
         for rr in outs[5:]:
             rr[...] = jnp.zeros(rr.shape, rr.dtype)
 
-    x_raw, dirs = _block_points(spec, o_ref, d_ref, z_ref)
+    x_raw, dirs = _block_points(spec, o_ref, d_ref, z_ref[...])
     dist = t_ref[...]
     inv_s = sc_ref[...][0:1, 0:1]
     r = sc_ref[...][0:1, 1:2]
@@ -549,7 +577,7 @@ def _bwd_kernel(spec: FusedNeuSSpec, *refs):
     dx = _sdf_reverse(ss, named, gnamed, st, comp, cs_tot, v, cf) + cx_rgb
 
     # ---- point/dir cots -> ray cots (reduce over samples in-kernel) -----
-    _ray_cots(spec, d_ref, z_ref, dx, c_dirs, do_ref, dd_ref, dz_ref)
+    _ray_cots(spec, d_ref, z_ref[...], dx, c_dirs, do_ref, dd_ref, dz_ref)
 
 
 def _bwd_kernel_ray(spec: FusedNeuSSpec, *refs):
@@ -578,8 +606,9 @@ def _bwd_kernel_ray(spec: FusedNeuSSpec, *refs):
         for rr in outs[5:]:
             rr[...] = jnp.zeros(rr.shape, rr.dtype)
 
-    x_raw, dirs = _block_points(spec, o_ref, d_ref, z_ref)
-    dist = t_ref[...]
+    z_pt = _rs_to_pt(spec, z_ref[...])
+    x_raw, dirs = _block_points(spec, o_ref, d_ref, z_pt)
+    dist = _rs_to_pt(spec, t_ref[...])
     inv_s = sc_ref[...][0:1, 0:1]
     r = sc_ref[...][0:1, 1:2]
 
@@ -627,12 +656,13 @@ def _bwd_kernel_ray(spec: FusedNeuSSpec, *refs):
     cs_tot = cs_a / ss.scale
     v = cg_rgb + cg_a + cg_eik
     c_dirs = cd_rgb + cd_a
-    dt_ref[...] = ct_a
+    dt_ref[...] = _pt_to_rs(spec, ct_a)  # dists cot leaves RAY-MAJOR
     lane = jax.lax.broadcasted_iota(jnp.int32, dsc_ref.shape, 1)
     dsc_ref[...] += jnp.where(lane == 0, civs, 0.0)
 
     dx = _sdf_reverse(ss, named, gnamed, st, comp, cs_tot, v, cf) + cx_rgb
-    _ray_cots(spec, d_ref, z_ref, dx, c_dirs, do_ref, dd_ref, dz_ref)
+    _ray_cots(spec, d_ref, z_pt, dx, c_dirs, do_ref, dd_ref, dz_ref,
+              ray_major_dz=True)
 
 
 def _sdf_reverse(ss, named, gnamed, st, comp, cs_tot, v, cf):
@@ -706,15 +736,18 @@ def _sdf_reverse(ss, named, gnamed, st, comp, cs_tot, v, cf):
     return cx3 * ss.scale  # cot on raw points (B, 3), color path excluded
 
 
-def _ray_cots(spec, d_ref, z_ref, dx, c_dirs, do_ref, dd_ref, dz_ref):
-    """Reduce per-point (B, 3) point/dir cots over samples to ray cots."""
+def _ray_cots(spec, d_ref, z, dx, c_dirs, do_ref, dd_ref, dz_ref,
+              ray_major_dz=False):
+    """Reduce per-point (B, 3) point/dir cots over samples to ray cots.
+    ``z`` is the point-major (B, 1) z value; ``ray_major_dz`` emits the
+    z cot as (Rb, S) (per-ray kernel variant) instead of (B, 1)."""
     Rb, S = spec.rays_per_block, spec.samples
     B = Rb * S
     d_full = jnp.broadcast_to(
         d_ref[...][:, None, :], (Rb, S, 3)
     ).reshape(B, 3)
-    z = z_ref[...]
-    dz_ref[...] = jnp.sum(dx * d_full, axis=-1, keepdims=True)
+    dz_pt = jnp.sum(dx * d_full, axis=-1, keepdims=True)
+    dz_ref[...] = _pt_to_rs(spec, dz_pt) if ray_major_dz else dz_pt
     do_ref[...] = jnp.sum(dx.reshape(Rb, S, 3), axis=1)
     dd_ref[...] = jnp.sum(
         (dx * z + c_dirs).reshape(Rb, S, 3), axis=1
@@ -810,7 +843,8 @@ def _run_fwd(spec: FusedNeuSSpec, s_weights, c_weights, ro, rd, z, dists, sc):
 
 def _run_fwd_ray(spec: FusedNeuSSpec, s_weights, c_weights, ro, rd, z,
                  dists, sc):
-    P = z.shape[0]
+    # z/dists are RAY-MAJOR (Rp, S); residual outputs stay point-major
+    P = z.shape[0] * z.shape[1]
     Rp = ro.shape[0]
     consts = [jnp.asarray(c) for c in _pe_constants(spec.sdf)]
     w_args = _weight_args(spec, s_weights, c_weights)
@@ -818,8 +852,8 @@ def _run_fwd_ray(spec: FusedNeuSSpec, s_weights, c_weights, ro, rd, z,
     outs = pl.pallas_call(
         functools.partial(_fwd_kernel_ray, spec),
         grid=(P // spec.block,),
-        in_specs=[_rblk(spec, 3), _rblk(spec, 3), _blk(spec, 1),
-                  _blk(spec, 1), _full(sc)]
+        in_specs=[_rblk(spec, 3), _rblk(spec, 3), _rblk(spec, spec.samples),
+                  _rblk(spec, spec.samples), _full(sc)]
         + [_full(c) for c in consts]
         + [_full(w) for w in w_args],
         out_specs=(_rblk(spec, W), _rblk(spec, 3), _rblk(spec, 1),
@@ -843,7 +877,7 @@ def _run_fwd_ray(spec: FusedNeuSSpec, s_weights, c_weights, ro, rd, z,
 
 def _run_bwd_ray(spec: FusedNeuSSpec, s_weights, c_weights, ro, rd, z, dists,
                  sc, sdf_fwd, g_fwd, c_col, c_nw, c_ws, c_eik):
-    P = z.shape[0]
+    P = z.shape[0] * z.shape[1]
     Rp = ro.shape[0]
     consts = [jnp.asarray(c) for c in _pe_constants(spec.sdf)]
     w_args = _weight_args(spec, s_weights, c_weights)
@@ -852,14 +886,16 @@ def _run_bwd_ray(spec: FusedNeuSSpec, s_weights, c_weights, ro, rd, z, dists,
     grad_shapes = [s_weights[nm].shape for nm in s_gnames] + [
         c_weights[nm].shape for nm in c_gnames
     ]
-    out_specs = [_rblk(spec, 3), _rblk(spec, 3), _blk(spec, 1), _blk(spec, 1),
+    S = spec.samples
+    out_specs = [_rblk(spec, 3), _rblk(spec, 3), _rblk(spec, S),
+                 _rblk(spec, S),
                  _acc((1, LANE))] + [_acc(s) for s in grad_shapes]
     out_shape = (
         [
             jax.ShapeDtypeStruct((Rp, 3), jnp.float32),
             jax.ShapeDtypeStruct((Rp, 3), jnp.float32),
-            jax.ShapeDtypeStruct((P, 1), jnp.float32),
-            jax.ShapeDtypeStruct((P, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Rp, S), jnp.float32),
+            jax.ShapeDtypeStruct((Rp, S), jnp.float32),
             jax.ShapeDtypeStruct((1, LANE), jnp.float32),
         ]
         + [jax.ShapeDtypeStruct(s, jnp.float32) for s in grad_shapes]
@@ -868,7 +904,8 @@ def _run_bwd_ray(spec: FusedNeuSSpec, s_weights, c_weights, ro, rd, z, dists,
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel_ray, spec),
         grid=(P // spec.block,),
-        in_specs=[_rblk(spec, 3), _rblk(spec, 3), _blk(spec, 1), _blk(spec, 1),
+        in_specs=[_rblk(spec, 3), _rblk(spec, 3), _rblk(spec, S),
+                  _rblk(spec, S),
                   _full(sc), _blk(spec, 1), _blk(spec, 3),
                   _rblk(spec, W), _rblk(spec, 3), _rblk(spec, 1),
                   _full(c_eik)]
@@ -1085,9 +1122,10 @@ def point_eval_fused_ray(
     mesh = pmesh.data_mesh()
     n_dev = mesh.size
     granule = spec.rays_per_block * (n_dev if n_dev > 1 else 1)
-    P = R * S
-    z = mid_z.reshape(P, 1)
-    t = dists.reshape(P, 1)
+    # z/dists stay RAY-MAJOR (R, S) all the way into the kernel — the
+    # sampler's native layout; the kernel lane-transposes in VMEM
+    z = mid_z
+    t = dists
     ro = rays_o.astype(jnp.float32)
     rd = rays_d.astype(jnp.float32)
     rpad = (-R) % granule
@@ -1098,7 +1136,7 @@ def point_eval_fused_ray(
         pad_o = jnp.zeros((rpad, 3), jnp.float32).at[:, 0].set(10.0)
         ro = jnp.concatenate([ro, pad_o], 0)
         rd = jnp.concatenate([rd, jnp.zeros((rpad, 3), jnp.float32)], 0)
-        zp = jnp.zeros((rpad * S, 1), jnp.float32)
+        zp = jnp.zeros((rpad, S), jnp.float32)
         z = jnp.concatenate([z, zp], 0)
         t = jnp.concatenate([t, zp], 0)
     weights = {"s": s_weights, "c": c_weights}
