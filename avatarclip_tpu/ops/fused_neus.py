@@ -338,43 +338,55 @@ def _pt_to_rs(spec: FusedNeuSSpec, a_pt):
     return _dot_f32(U, a_pt * V)
 
 
-def _composite_ray(spec: FusedNeuSSpec, alpha, rgb, g):
-    """In-kernel per-ray compositing (renderer.py:250-266 + the weighted
-    normal sum of main.py:426-428), point-major inputs.
+def _alpha_chain_rs(s, tc, dist, inv_s, r):
+    """renderer.py:221-248 alpha chain, RAY-MAJOR (Rb, S) operands with the
+    true-cos ``tc = dirs . grad`` precomputed point-major (it needs the
+    (B, 3) operands). Point-major (B, 1) elementwise math occupies 1/128 of
+    the VPU lanes; the same ~20 ops on (Rb, S) arrays run at full lane
+    density — this chain (plus its in-kernel vjp in the backward) is the
+    kernels' dominant non-MLP pointwise work."""
+    iter_cos = -(
+        jax.nn.relu(-tc * 0.5 + 0.5) * (1.0 - r)
+        + jax.nn.relu(-tc) * r
+    )
+    est_next = s + iter_cos * dist * 0.5
+    est_prev = s - iter_cos * dist * 0.5
+    prev_cdf = jax.nn.sigmoid(est_prev * inv_s)
+    next_cdf = jax.nn.sigmoid(est_next * inv_s)
+    return jnp.clip((prev_cdf - next_cdf + 1e-5) / (prev_cdf + 1e-5), 0.0, 1.0)
 
-    alpha (B, 1), rgb (B, 3|6), g (B, 3) with B = Rb * S, points ordered
-    ray-major. Returns (colorW (Rb, W), normals_w (Rb, 3), wsum (Rb, 1)).
 
-    The (B, 1) <-> (Rb, S) lane transposes ride the U/V dot trick
-    (`_uv_mats`); the per-ray reductions use (B, c) -> (Rb, S, c)
-    leading-dim splits (the direction Mosaic supports) + f32 VPU sums, so
-    results match the unfused XLA compositing to f32 tolerance."""
+def _composite_rs(spec: FusedNeuSSpec, s_rs, tc_rs, dist_rs, inv_s, r,
+                  rgb, g):
+    """In-kernel alpha chain + per-ray compositing (renderer.py:221-266 +
+    the weighted normal sum of main.py:426-428), RAY-MAJOR chain operands.
+
+    s_rs/tc_rs/dist_rs (Rb, S); rgb (B, 3|6), g (B, 3) point-major with
+    B = Rb * S, points ordered ray-major. Returns (colorW (Rb, W),
+    normals_w (Rb, 3), wsum (Rb, 1)).
+
+    The whole alpha chain and the transmittance scan run (Rb, S) at full
+    VPU lane occupancy; only the final weights cross back to point-major
+    (one `_rs_to_pt` dot pair) for the rgb/normal reductions, which use
+    (B, c) -> (Rb, S, c) leading-dim splits (the direction Mosaic
+    supports) + f32 VPU sums, so results match the unfused XLA compositing
+    to f32 tolerance."""
     Rb, S = spec.rays_per_block, spec.samples
-    U, V = _uv_mats(spec)
-
-    x = 1.0 - alpha + 1e-7  # (B, 1)
-    X = _dot_f32(U, x * V)  # (Rb, S): X[r, s] = x[r*S + s]
+    alpha = _alpha_chain_rs(s_rs, tc_rs, dist_rs, inv_s, r)  # (Rb, S)
+    x = 1.0 - alpha + 1e-7
     # exclusive prefix product along lanes (Hillis-Steele log-scan)
-    trans = jnp.concatenate([jnp.ones((Rb, 1), X.dtype), X[:, :-1]], axis=1)
+    trans = jnp.concatenate([jnp.ones((Rb, 1), x.dtype), x[:, :-1]], axis=1)
     k = 1
     while k < S:
         trans = trans * jnp.concatenate(
-            [jnp.ones((Rb, k), X.dtype), trans[:, :-k]], axis=1
+            [jnp.ones((Rb, k), x.dtype), trans[:, :-k]], axis=1
         )
         k *= 2
-    # back to point-major: rows of (U^T trans) carry each ray's trans
-    # vector; V picks the point's own sample lane
-    trans_pt = jnp.sum(
-        jax.lax.dot_general(
-            U, trans, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * V,
-        axis=1, keepdims=True,
-    )  # (B, 1)
-    w = alpha * trans_pt
+    w_rs = alpha * trans  # (Rb, S)
+    w = _rs_to_pt(spec, w_rs)  # (B, 1)
     colW = jnp.sum((w * rgb).reshape(Rb, S, rgb.shape[1]), axis=1)
     normals_w = jnp.sum((w * g).reshape(Rb, S, 3), axis=1)
-    wsum = jnp.sum(w.reshape(Rb, S, 1), axis=1)
+    wsum = jnp.sum(w_rs, axis=1, keepdims=True)
     return colW, normals_w, wsum
 
 
@@ -397,16 +409,16 @@ def _fwd_kernel_ray(spec: FusedNeuSSpec, *refs):
         eik_ref[...] = jnp.zeros(eik_ref.shape, eik_ref.dtype)
 
     # z/dists arrive RAY-MAJOR (Rb, S) — straight from the sampler's
-    # layout, no XLA relayout copy at the kernel boundary
+    # layout, no XLA relayout copy at the kernel boundary; dists feed the
+    # ray-major alpha chain directly (no point-major form ever exists)
     z_pt = _rs_to_pt(spec, z_ref[...])
     x_raw, dirs = _block_points(spec, o_ref, d_ref, z_pt)
-    dist = _rs_to_pt(spec, t_ref[...])
     inv_s = sc_ref[...][0:1, 0:1]
     r = sc_ref[...][0:1, 1:2]
 
     st = _sdf_forward_states(ss, named, x_raw, consts)
     _, head = _color_forward(cs, named, x_raw, st["g"], dirs, st["feat"])
-    alpha, _cdf = _alpha_chain(st["sdf"], st["g"], dirs, dist, inv_s, r)
+    tc = jnp.sum(dirs * st["g"], axis=-1, keepdims=True)  # (B, 1)
 
     pts_norm = jnp.sqrt(jnp.sum(x_raw * x_raw, axis=-1, keepdims=True))
     relax = (pts_norm < 1.2).astype(jnp.float32)
@@ -417,7 +429,10 @@ def _fwd_kernel_ray(spec: FusedNeuSSpec, *refs):
     )
 
     rgb = head[:, : col_ref.shape[1]]
-    colW, normals_w, wsum = _composite_ray(spec, alpha, rgb, st["g"])
+    colW, normals_w, wsum = _composite_rs(
+        spec, _pt_to_rs(spec, st["sdf"]), _pt_to_rs(spec, tc), t_ref[...],
+        inv_s, r, rgb, st["g"]
+    )
     col_ref[...] = colW
     nw_ref[...] = normals_w
     ws_ref[...] = wsum
@@ -608,7 +623,6 @@ def _bwd_kernel_ray(spec: FusedNeuSSpec, *refs):
 
     z_pt = _rs_to_pt(spec, z_ref[...])
     x_raw, dirs = _block_points(spec, o_ref, d_ref, z_pt)
-    dist = _rs_to_pt(spec, t_ref[...])
     inv_s = sc_ref[...][0:1, 0:1]
     r = sc_ref[...][0:1, 1:2]
 
@@ -628,13 +642,23 @@ def _bwd_kernel_ray(spec: FusedNeuSSpec, *refs):
     if cs.squeeze_out:
         rgb = jax.nn.sigmoid(rgb)
 
-    # ---- alpha chain + compositing: ONE in-kernel jax.vjp --------------
-    def chain_comp(s_, g_, d_, t_, iv, rgb_):
-        alpha_, _ = _alpha_chain(s_, g_, d_, t_, iv, r)
-        return _composite_ray(spec, alpha_, rgb_, g_)
+    # ---- alpha chain + compositing: ONE in-kernel jax.vjp, RAY-MAJOR ---
+    # the chain operands (sdf, true-cos, dists) enter (Rb, S) so the vjp's
+    # elementwise sweeps run at full VPU lane density; g's chain cotangent
+    # comes back through tc = dirs . g below
+    tc = jnp.sum(dirs * g, axis=-1, keepdims=True)  # (B, 1)
+    s_rs = _pt_to_rs(spec, sdf)
+    tc_rs = _pt_to_rs(spec, tc)
 
-    _, vjp_c = jax.vjp(chain_comp, sdf, g, dirs, dist, inv_s, rgb)
-    cs_a, cg_a, cd_a, ct_a, civs, crgb = vjp_c((c_col, c_nw, c_ws))
+    def chain_comp(s_, tc_, t_, iv, rgb_, g_):
+        return _composite_rs(spec, s_, tc_, t_, iv, r, rgb_, g_)
+
+    _, vjp_c = jax.vjp(chain_comp, s_rs, tc_rs, t_ref[...], inv_s, rgb, g)
+    cs_rs, ctc_rs, ct_rs, civs, crgb, cg_comp = vjp_c((c_col, c_nw, c_ws))
+    cs_a = _rs_to_pt(spec, cs_rs)
+    ctc = _rs_to_pt(spec, ctc_rs)
+    cg_a = cg_comp + ctc * dirs
+    cd_a = ctc * g
 
     pts_norm = jnp.sqrt(jnp.sum(x_raw * x_raw, axis=-1, keepdims=True))
     relax = (pts_norm < 1.2).astype(jnp.float32)
@@ -656,7 +680,7 @@ def _bwd_kernel_ray(spec: FusedNeuSSpec, *refs):
     cs_tot = cs_a / ss.scale
     v = cg_rgb + cg_a + cg_eik
     c_dirs = cd_rgb + cd_a
-    dt_ref[...] = _pt_to_rs(spec, ct_a)  # dists cot leaves RAY-MAJOR
+    dt_ref[...] = ct_rs  # dists cot is already RAY-MAJOR from the vjp
     lane = jax.lax.broadcasted_iota(jnp.int32, dsc_ref.shape, 1)
     dsc_ref[...] += jnp.where(lane == 0, civs, 0.0)
 
