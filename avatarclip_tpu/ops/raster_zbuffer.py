@@ -56,6 +56,22 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+# Tiled variant: 2-D screen tiles + per-(tile, face-block) bbox culling.
+# The brute-force kernel's (P,3)x(3,F) dots have K=3 — ~2.3% of the MXU's
+# 128-deep systolic K — so its cost is set by the P*F pair count, not FLOPs.
+# Most pairs are trivially empty (a 32x32-px tile overlaps few of the body's
+# face blocks); a scalar-prefetched overlap table lets the kernel skip whole
+# (tile, face-block) steps with pl.when. Culling is winner-exact: a pixel
+# with all three oriented barycentrics >= 0 lies inside the triangle and
+# hence inside its screen bbox (valid faces have all verts in front, so the
+# bboxes are well-defined); blocks are culled only when no face bbox touches
+# the tile (1 px float margin).
+TILE_H = 32
+TILE_W = 32
+TBLOCK = TILE_H * TILE_W  # pixels per tile block
+FBLOCK_T = 512  # faces per block in the tiled kernel (finer = better culling)
+
+
 def _zbuffer_kernel(c0_ref, c1_ref, c2_ref, cz_ref, vmask_ref, pix_ref, out_ref):
     j = pl.program_id(1)
 
@@ -152,3 +168,155 @@ def zbuffer_select(
     key = out[:P, 0]
     best_face = jnp.where(key >= 0, key % (2**FID_BITS), -1)
     return best_face
+
+
+def _zbuffer_kernel_tiled(n_fb, tab_ref, c0_ref, c1_ref, c2_ref, cz_ref,
+                          vmask_ref, pix_ref, out_ref):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[...] = jnp.full_like(out_ref, -1)
+
+    @pl.when(tab_ref[i * n_fb + j] > 0)
+    def _work():
+        pix = pix_ref[...]  # (TBLOCK, 3) f32, a compact TILE_H x TILE_W tile
+        dot = functools.partial(
+            jax.lax.dot_general,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        b0 = dot(pix, c0_ref[...])
+        b1 = dot(pix, c1_ref[...])
+        b2 = dot(pix, c2_ref[...])
+        iz = dot(pix, cz_ref[...])
+        inside = (
+            (b0 >= 0.0)
+            & (b1 >= 0.0)
+            & (b2 >= 0.0)
+            & (iz > 0.0)
+            & (vmask_ref[...] > 0)
+        )
+        izq = jnp.clip(iz * IZ_SCALE, 0.0, IZ_MAX).astype(jnp.int32)
+        fid = j * FBLOCK_T + jax.lax.broadcasted_iota(jnp.int32, izq.shape, 1)
+        key = jnp.where(inside, izq * (2**FID_BITS) + fid, -1)
+        best = jnp.max(key, axis=1, keepdims=True)
+        out_ref[...] = jnp.maximum(out_ref[...], best)
+
+
+def zbuffer_select_tiled(
+    coef: jnp.ndarray,  # (F, 3, 4) face coefficients
+    valid: jnp.ndarray,  # (F,) bool
+    face_sx: jnp.ndarray,  # (F, 3) screen x of each face's vertices
+    face_sy: jnp.ndarray,  # (F, 3) screen y
+    H: int,
+    W: int,
+    interpret: bool = False,
+):
+    """Winner selection with 2-D tile / face-block bbox culling.
+
+    Produces EXACTLY the winners of `zbuffer_select` on the row-major pixel
+    lattice of an (H, W) image (same packed key, same tie-break); only the
+    empty (tile, face-block) pairs are skipped. Returns best_face (H*W,)
+    int32 with -1 = background."""
+    F = coef.shape[0]
+    assert F <= 2**FID_BITS, f"too many faces for the packed key: {F}"
+    f_pad = _round_up(F, FBLOCK_T) - F
+    if f_pad:
+        coef = jnp.concatenate([coef, jnp.zeros((f_pad, 3, 4), coef.dtype)], 0)
+        valid = jnp.concatenate([valid, jnp.zeros((f_pad,), bool)], 0)
+        face_sx = jnp.concatenate(
+            [face_sx, jnp.zeros((f_pad, 3), face_sx.dtype)], 0
+        )
+        face_sy = jnp.concatenate(
+            [face_sy, jnp.zeros((f_pad, 3), face_sy.dtype)], 0
+        )
+    Fp = coef.shape[0]
+    n_fb = Fp // FBLOCK_T
+
+    Hp, Wp = _round_up(H, TILE_H), _round_up(W, TILE_W)
+    n_ty, n_tx = Hp // TILE_H, Wp // TILE_W
+    n_tiles = n_ty * n_tx
+
+    # tile-permuted pixel matrix: block i is the compact 2-D tile
+    # (ty, tx) = (i // n_tx, i % n_tx). Padded pixels (px >= W or py >= H)
+    # are harmless: their winners are cropped away below.
+    py, px = jnp.meshgrid(
+        jnp.arange(Hp, dtype=jnp.float32), jnp.arange(Wp, dtype=jnp.float32),
+        indexing="ij",
+    )
+    ones = jnp.ones((Hp, Wp), jnp.float32)
+    pix = (
+        jnp.stack([px, py, ones], axis=-1)
+        .reshape(n_ty, TILE_H, n_tx, TILE_W, 3)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(n_tiles * TBLOCK, 3)
+    )
+
+    # face bboxes (invalid faces -> empty), block-reduced, vs tile bounds
+    big = jnp.float32(1e9)
+    fminx = jnp.where(valid, jnp.min(face_sx, axis=1), big)
+    fmaxx = jnp.where(valid, jnp.max(face_sx, axis=1), -big)
+    fminy = jnp.where(valid, jnp.min(face_sy, axis=1), big)
+    fmaxy = jnp.where(valid, jnp.max(face_sy, axis=1), -big)
+    bminx = jnp.min(fminx.reshape(n_fb, FBLOCK_T), axis=1)  # (n_fb,)
+    bmaxx = jnp.max(fmaxx.reshape(n_fb, FBLOCK_T), axis=1)
+    bminy = jnp.min(fminy.reshape(n_fb, FBLOCK_T), axis=1)
+    bmaxy = jnp.max(fmaxy.reshape(n_fb, FBLOCK_T), axis=1)
+
+    ty = jnp.arange(n_tiles, dtype=jnp.float32) // n_tx
+    tx = jnp.arange(n_tiles, dtype=jnp.float32) % n_tx
+    m = 1.0  # float-safety margin (pixels)
+    tx0, tx1 = tx * TILE_W - m, tx * TILE_W + (TILE_W - 1) + m
+    ty0, ty1 = ty * TILE_H - m, ty * TILE_H + (TILE_H - 1) + m
+    tab = (
+        (bminx[None, :] <= tx1[:, None])
+        & (bmaxx[None, :] >= tx0[:, None])
+        & (bminy[None, :] <= ty1[:, None])
+        & (bmaxy[None, :] >= ty0[:, None])
+    ).astype(jnp.int32).reshape(-1)  # (n_tiles * n_fb,)
+
+    ct = coef.transpose(1, 0, 2)  # (3, F, 4)
+    c0, c1, c2, cz = (ct[..., k].astype(jnp.float32) for k in range(4))
+    vmask = valid.astype(jnp.int32).reshape(1, Fp)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles, n_fb),
+        in_specs=[
+            pl.BlockSpec((3, FBLOCK_T), lambda i, j, t: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, FBLOCK_T), lambda i, j, t: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, FBLOCK_T), lambda i, j, t: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, FBLOCK_T), lambda i, j, t: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, FBLOCK_T), lambda i, j, t: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TBLOCK, 3), lambda i, j, t: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TBLOCK, 1), lambda i, j, t: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_zbuffer_kernel_tiled, n_fb),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles * TBLOCK, 1), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(tab, c0, c1, c2, cz, vmask, pix)
+
+    # un-permute tiles -> row-major image, crop padding
+    key = (
+        out.reshape(n_ty, n_tx, TILE_H, TILE_W)
+        .transpose(0, 2, 1, 3)
+        .reshape(Hp, Wp)[:H, :W]
+        .reshape(-1)
+    )
+    return jnp.where(key >= 0, key % (2**FID_BITS), -1)

@@ -176,7 +176,10 @@ def rasterize(
     if use_kernel:
         from ..ops import raster_zbuffer
 
-        best_face = raster_zbuffer.zbuffer_select(pix, coef, valid)
+        # tiled kernel: same winners, empty (tile, face-block) pairs skipped
+        best_face = raster_zbuffer.zbuffer_select_tiled(
+            coef, valid, proj.sx[faces], proj.sy[faces], H, W
+        )
         return _winner_outputs(pix, coef, best_face)
 
     coef_chunks = coef.reshape(n_chunks, chunk, 3, 4)
