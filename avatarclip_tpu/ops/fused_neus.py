@@ -731,23 +731,35 @@ def _sdf_reverse(ss, named, gnamed, st, comp, cs_tot, v, cf):
     cad = jnp.broadcast_to(wsa, ca_s.shape)
     ced_head = wse
 
+    B = a_list[0].shape[0]
+    # paired dots ride ONE MXU op via row (leading-dim) concat: the
+    # weight-grad pair dotB(a, cz) + dotB(t, czd) is exactly
+    # dotB([a; t], [cz; czd]) (a 2B-deep contraction), and the two reverse
+    # dots share their weight operand. Row concat/split at sublane
+    # boundaries is the Mosaic-friendly direction — the lane-concat variant
+    # of this idea (merging the color net's narrow input dots) measured
+    # -1.9% and was reverted.
     cz = ca_s * psm + cad * zd_s * (100.0 * sig_s * (1.0 - sig_s) * smask)
     czd = cad * psm
-    gnamed["dwskip"][...] += _dotB(a_list[n_hidden], cz) + _dotB(
-        t_list[n_hidden], czd
+    both = jnp.concatenate([cz, czd], axis=0)
+    gnamed["dwskip"][...] += _dotB(
+        jnp.concatenate([a_list[n_hidden], t_list[n_hidden]], axis=0), both
     )
     gnamed["dbskip"][...] += jnp.sum(cz, axis=0, keepdims=True)
-    ca_s = _dotT(cz, named["wskip"][...])
-    cat = _dotT(czd, named["wskip"][...])
+    rev = _dotT(both, named["wskip"][...])
+    ca_s, cat = rev[:B], rev[B:]
 
     for i in reversed(range(n_hidden)):
         p = p_list[i]
         cz = ca_s * p + cat * zd_list[i] * (100.0 * p * (1.0 - p))
         czd = cat * p
-        gnamed[f"dw{i}"][...] += _dotB(a_list[i], cz) + _dotB(t_list[i], czd)
+        both = jnp.concatenate([cz, czd], axis=0)
+        gnamed[f"dw{i}"][...] += _dotB(
+            jnp.concatenate([a_list[i], t_list[i]], axis=0), both
+        )
         gnamed[f"db{i}"][...] += jnp.sum(cz, axis=0, keepdims=True)
-        ca_s = _dotT(cz, named[f"w{i}"][...])
-        cat = _dotT(czd, named[f"w{i}"][...])
+        rev = _dotT(both, named[f"w{i}"][...])
+        ca_s, cat = rev[:B], rev[B:]
 
     ce = ca_s + ce_head
     ced = cat + ced_head
