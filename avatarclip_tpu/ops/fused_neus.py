@@ -198,16 +198,15 @@ def _sdf_forward_states(spec, named, x_raw, consts, need_gradient=True):
     h = e
     for i in range(spec.n_hidden):
         z = _dot(h, named[f"w{i}"][...]) + named[f"b{i}"][...]
-        p = jax.nn.sigmoid(100.0 * z)
-        h = _sp(z)
+        h, p = fused_sdf._sp_sig(z)
         a_list.append(h)
         p_list.append(p)
     z_s = _dot(h, named["wskip"][...]) + named["bskip"][...]
-    sig_s = jax.nn.sigmoid(100.0 * z_s)
+    sp_s, sig_s = fused_sdf._sp_sig(z_s)
     S = spec.skip_width
     col = jax.lax.broadcasted_iota(jnp.int32, z_s.shape, 1)
     smask = (col < S).astype(jnp.float32)
-    a_s = _sp(z_s) * smask
+    a_s = sp_s * smask
     p_s = sig_s * smask
 
     feat = (

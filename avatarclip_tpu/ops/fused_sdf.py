@@ -191,6 +191,28 @@ def _sp(z):
     return jax.nn.softplus(100.0 * z) * 0.01
 
 
+def _sp_sig(z):
+    """(softplus(100 z)/100, sigmoid(100 z)) from ONE shared exp.
+
+    Every hidden layer needs both the activation and its derivative
+    (sigmoid(100 z) = d softplus(100 z)/100 / dz); computed separately they
+    cost two independent transcendental chains per layer (exp+log1p for the
+    softplus AND the tanh-lowered logistic) — VPU multi-pass work that
+    pipelines poorly against the MXU dots and dominated the forward
+    kernel's gap to its FLOP floor. Sharing t = exp(-|100 z|):
+        softplus(a) = max(a, 0) + log1p(t)
+        sigmoid(a)  = 1/(1+t)        if a >= 0, else t/(1+t)
+    leaves one exp + one log1p + one reciprocal. Matches jax.nn.softplus
+    bit-for-bit (same identity) and jax.nn.sigmoid to ~1 ulp (it lowers
+    via tanh)."""
+    a = 100.0 * z
+    t = jnp.exp(-jnp.abs(a))
+    inv = 1.0 / (1.0 + t)
+    sp = (jnp.maximum(a, 0.0) + jnp.log1p(t)) * 0.01
+    sig = jnp.where(a >= 0.0, inv, t * inv)
+    return sp, sig
+
+
 _OPERAND_DTYPE = jnp.bfloat16  # kernel dot operand dtype (tests patch to f32)
 
 
@@ -251,18 +273,17 @@ def _fwd_kernel(spec: FusedSDFSpec, n_hidden: int, *refs):
     h = e
     for i in range(n_hidden):
         z = _dot(h, named[f"w{i}"][...]) + named[f"b{i}"][...]
-        p = jax.nn.sigmoid(100.0 * z)
-        h = _sp(z)
+        h, p = _sp_sig(z)
         acts.append(h)
         ps.append(p)
     # pre-skip layer -> a_s (padded cols are sp(0) but masked by zero weight
     # columns of wskip, so force exact zeros for cleanliness)
     z_s = _dot(h, named["wskip"][...]) + named["bskip"][...]
-    p_s = jax.nn.sigmoid(100.0 * z_s)
+    sp_s, p_s = _sp_sig(z_s)
     S = spec.skip_width
     col = jax.lax.broadcasted_iota(jnp.int32, z_s.shape, 1)
     smask = (col < S).astype(jnp.float32)
-    a_s = _sp(z_s) * smask
+    a_s = sp_s * smask
     p_s = p_s * smask
 
     # final layer (skip already folded: u = [a_s; e]/sqrt2, weights pre-scaled)
@@ -432,20 +453,19 @@ def _bwd_kernel(spec: FusedSDFSpec, n_hidden: int, *refs):
     h, t = e, ed
     for i in range(n_hidden):
         z = _dot(h, named[f"w{i}"][...]) + named[f"b{i}"][...]
-        p = jax.nn.sigmoid(100.0 * z)
         zd = _dot(t, named[f"w{i}"][...])
-        h = _sp(z)
+        h, p = _sp_sig(z)
         t = p * zd
         a_list.append(h)
         p_list.append(p)
         t_list.append(t)
         zd_list.append(zd)
     z_s = _dot(h, named["wskip"][...]) + named["bskip"][...]
-    sig_s = jax.nn.sigmoid(100.0 * z_s)
+    sp_s, sig_s = _sp_sig(z_s)
     S = spec.skip_width
     col = jax.lax.broadcasted_iota(jnp.int32, z_s.shape, 1)
     smask = (col < S).astype(jnp.float32)
-    a_s = _sp(z_s) * smask
+    a_s = sp_s * smask
     psm = sig_s * smask
     zd_s = _dot(t, named["wskip"][...])
     a_s_dot = psm * zd_s
