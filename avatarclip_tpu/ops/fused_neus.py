@@ -245,13 +245,12 @@ def _sdf_forward_states(spec, named, x_raw, consts, need_gradient=True):
     }
 
 
-def _block_points(spec: FusedNeuSSpec, o_ref, d_ref, z):
-    """rays (Rb, 3) + point-major z (B, 1) -> per-point (pts, dirs)."""
-    Rb, S = spec.rays_per_block, spec.samples
-    o = o_ref[...]
-    d = d_ref[...]
-    ob = jnp.broadcast_to(o[:, None, :], (Rb, S, 3)).reshape(Rb * S, 3)
-    db = jnp.broadcast_to(d[:, None, :], (Rb, S, 3)).reshape(Rb * S, 3)
+def _block_points(o, d, z, s: int):
+    """rays (Rb, 3) + point-major z (Rb*s, 1) -> per-point (pts, dirs).
+    Sizes come from the operands so callers can pass ray sub-slices."""
+    rb = o.shape[0]
+    ob = jnp.broadcast_to(o[:, None, :], (rb, s, 3)).reshape(rb * s, 3)
+    db = jnp.broadcast_to(d[:, None, :], (rb, s, 3)).reshape(rb * s, 3)
     return ob + db * z, db
 
 
@@ -274,7 +273,8 @@ def _fwd_kernel(spec: FusedNeuSSpec, *refs):
     def _init():
         eik_ref[...] = jnp.zeros(eik_ref.shape, eik_ref.dtype)
 
-    x_raw, dirs = _block_points(spec, o_ref, d_ref, z_ref[...])
+    x_raw, dirs = _block_points(o_ref[...], d_ref[...], z_ref[...],
+                                spec.samples)
     dist = t_ref[...]
     inv_s = sc_ref[...][0:1, 0:1]  # (1,1): broadcasts; rank-0 extraction is
     r = sc_ref[...][0:1, 1:2]      # a slow/unsupported layout op on TPU
@@ -304,13 +304,12 @@ def _fwd_kernel(spec: FusedNeuSSpec, *refs):
     rgb_ref[...] = head[:, : rgb_ref.shape[1]]
 
 
-def _uv_mats(spec: FusedNeuSSpec):
+def _uv_mats(Rb: int, S: int):
     """Constant 0/1 lane-transpose matrices for the (B, 1) <-> (Rb, S)
     conversion Mosaic cannot express as a reshape ("unsupported shape
     cast"): U (Rb, B) selects each ray's points, V (B, S) one-hots each
     point's sample lane. Entries are exact (x*1 sums of one term); the
     compiler CSEs repeated builds within a kernel."""
-    Rb, S = spec.rays_per_block, spec.samples
     B = Rb * S
     bcol = jax.lax.broadcasted_iota(jnp.int32, (Rb, B), 1)
     rrow = jax.lax.broadcasted_iota(jnp.int32, (Rb, B), 0)
@@ -321,9 +320,10 @@ def _uv_mats(spec: FusedNeuSSpec):
     return U, V
 
 
-def _rs_to_pt(spec: FusedNeuSSpec, a_rs):
+def _rs_to_pt(a_rs):
     """(Rb, S) ray-major -> (B, 1) point-major, exactly, via U/V dots."""
-    U, V = _uv_mats(spec)
+    Rb, S = a_rs.shape
+    U, V = _uv_mats(Rb, S)
     rows = jax.lax.dot_general(
         U, a_rs, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -331,9 +331,10 @@ def _rs_to_pt(spec: FusedNeuSSpec, a_rs):
     return jnp.sum(rows * V, axis=1, keepdims=True)
 
 
-def _pt_to_rs(spec: FusedNeuSSpec, a_pt):
-    """(B, 1) point-major -> (Rb, S) ray-major, exactly, via U/V dots."""
-    U, V = _uv_mats(spec)
+def _pt_to_rs(a_pt, S: int):
+    """(B, 1) point-major -> (B/S, S) ray-major, exactly, via U/V dots."""
+    Rb = a_pt.shape[0] // S
+    U, V = _uv_mats(Rb, S)
     return _dot_f32(U, a_pt * V)
 
 
@@ -355,8 +356,7 @@ def _alpha_chain_rs(s, tc, dist, inv_s, r):
     return jnp.clip((prev_cdf - next_cdf + 1e-5) / (prev_cdf + 1e-5), 0.0, 1.0)
 
 
-def _composite_rs(spec: FusedNeuSSpec, s_rs, tc_rs, dist_rs, inv_s, r,
-                  rgb, g):
+def _composite_rs(s_rs, tc_rs, dist_rs, inv_s, r, rgb, g):
     """In-kernel alpha chain + per-ray compositing (renderer.py:221-266 +
     the weighted normal sum of main.py:426-428), RAY-MAJOR chain operands.
 
@@ -370,7 +370,7 @@ def _composite_rs(spec: FusedNeuSSpec, s_rs, tc_rs, dist_rs, inv_s, r,
     (B, c) -> (Rb, S, c) leading-dim splits (the direction Mosaic
     supports) + f32 VPU sums, so results match the unfused XLA compositing
     to f32 tolerance."""
-    Rb, S = spec.rays_per_block, spec.samples
+    Rb, S = s_rs.shape
     alpha = _alpha_chain_rs(s_rs, tc_rs, dist_rs, inv_s, r)  # (Rb, S)
     x = 1.0 - alpha + 1e-7
     # exclusive prefix product along lanes (Hillis-Steele log-scan)
@@ -382,18 +382,34 @@ def _composite_rs(spec: FusedNeuSSpec, s_rs, tc_rs, dist_rs, inv_s, r,
         )
         k *= 2
     w_rs = alpha * trans  # (Rb, S)
-    w = _rs_to_pt(spec, w_rs)  # (B, 1)
+    w = _rs_to_pt(w_rs)  # (B, 1)
     colW = jnp.sum((w * rgb).reshape(Rb, S, rgb.shape[1]), axis=1)
     normals_w = jnp.sum((w * g).reshape(Rb, S, 3), axis=1)
     wsum = jnp.sum(w_rs, axis=1, keepdims=True)
     return colW, normals_w, wsum
 
 
+def _n_sub(spec: FusedNeuSSpec) -> int:
+    """Independent ray sub-blocks per grid step.
+
+    MEASURED NEGATIVE (2026-08-17): the hypothesis was that two interleaved
+    data-independent halves would let the Mosaic scheduler overlap one
+    half's VPU elementwise sweep (softplus/sigmoid chains, PE sin/cos) with
+    the other half's MXU dots — the forward kernel runs at ~2.3x its
+    dot-FLOP floor with a single serial dot->activation->dot chain. On chip
+    n_sub=2 regressed the full step 202.9k -> 196.9k rays/s (−3%): Mosaic
+    does not exploit the second chain and the halved (512-row) dot shapes
+    cost more than any overlap gained. Kept as a 1-iteration loop so the
+    experiment stays one constant away."""
+    return 1
+
+
 def _fwd_kernel_ray(spec: FusedNeuSSpec, *refs):
     """Per-ray-output forward: the point pipeline of _fwd_kernel plus
     in-kernel compositing. Per-point HBM traffic is only the (sdf, grad)
     residual pair the backward reads to skip recompute; alpha/cdf/rgb/
-    inside never leave VMEM."""
+    inside never leave VMEM. The block is processed as `_n_sub` independent
+    ray sub-blocks (see `_n_sub`)."""
     ss, cs = spec.sdf, spec.color
     o_ref, d_ref, z_ref, t_ref, sc_ref = refs[:5]
     consts = [r[...] for r in refs[5:10]]
@@ -407,36 +423,43 @@ def _fwd_kernel_ray(spec: FusedNeuSSpec, *refs):
     def _init():
         eik_ref[...] = jnp.zeros(eik_ref.shape, eik_ref.dtype)
 
-    # z/dists arrive RAY-MAJOR (Rb, S) — straight from the sampler's
-    # layout, no XLA relayout copy at the kernel boundary; dists feed the
-    # ray-major alpha chain directly (no point-major form ever exists)
-    z_pt = _rs_to_pt(spec, z_ref[...])
-    x_raw, dirs = _block_points(spec, o_ref, d_ref, z_pt)
+    S = spec.samples
+    n_sub = _n_sub(spec)
+    h = spec.rays_per_block // n_sub
     inv_s = sc_ref[...][0:1, 0:1]
     r = sc_ref[...][0:1, 1:2]
-
-    st = _sdf_forward_states(ss, named, x_raw, consts)
-    _, head = _color_forward(cs, named, x_raw, st["g"], dirs, st["feat"])
-    tc = jnp.sum(dirs * st["g"], axis=-1, keepdims=True)  # (B, 1)
-
-    pts_norm = jnp.sqrt(jnp.sum(x_raw * x_raw, axis=-1, keepdims=True))
-    relax = (pts_norm < 1.2).astype(jnp.float32)
-    num, den = _eik_terms(st["g"], relax)
     lane = jax.lax.broadcasted_iota(jnp.int32, eik_ref.shape, 1)
-    eik_ref[...] += jnp.where(
-        lane == 0, num, jnp.where(lane == 1, den, 0.0)
-    )
 
-    rgb = head[:, : col_ref.shape[1]]
-    colW, normals_w, wsum = _composite_rs(
-        spec, _pt_to_rs(spec, st["sdf"]), _pt_to_rs(spec, tc), t_ref[...],
-        inv_s, r, rgb, st["g"]
-    )
-    col_ref[...] = colW
-    nw_ref[...] = normals_w
-    ws_ref[...] = wsum
-    sdf_ref[...] = st["sdf"]
-    grad_ref[...] = st["g"]
+    for k in range(n_sub):
+        rs = slice(k * h, (k + 1) * h)
+        ps = slice(k * h * S, (k + 1) * h * S)
+        # z/dists arrive RAY-MAJOR (Rb, S) — straight from the sampler's
+        # layout, no XLA relayout copy at the kernel boundary; dists feed
+        # the ray-major alpha chain directly (no point-major form exists)
+        z_pt = _rs_to_pt(z_ref[rs, :])
+        x_raw, dirs = _block_points(o_ref[rs, :], d_ref[rs, :], z_pt, S)
+
+        st = _sdf_forward_states(ss, named, x_raw, consts)
+        _, head = _color_forward(cs, named, x_raw, st["g"], dirs, st["feat"])
+        tc = jnp.sum(dirs * st["g"], axis=-1, keepdims=True)  # (B, 1)
+
+        pts_norm = jnp.sqrt(jnp.sum(x_raw * x_raw, axis=-1, keepdims=True))
+        relax = (pts_norm < 1.2).astype(jnp.float32)
+        num, den = _eik_terms(st["g"], relax)
+        eik_ref[...] += jnp.where(
+            lane == 0, num, jnp.where(lane == 1, den, 0.0)
+        )
+
+        rgb = head[:, : col_ref.shape[1]]
+        colW, normals_w, wsum = _composite_rs(
+            _pt_to_rs(st["sdf"], S), _pt_to_rs(tc, S), t_ref[rs, :],
+            inv_s, r, rgb, st["g"]
+        )
+        col_ref[rs, :] = colW
+        nw_ref[rs, :] = normals_w
+        ws_ref[rs, :] = wsum
+        sdf_ref[ps, :] = st["sdf"]
+        grad_ref[ps, :] = st["g"]
 
 
 def _color_forward(spec, named, x_raw, g, dirs, feat):
@@ -533,7 +556,8 @@ def _bwd_kernel(spec: FusedNeuSSpec, *refs):
         for rr in outs[5:]:
             rr[...] = jnp.zeros(rr.shape, rr.dtype)
 
-    x_raw, dirs = _block_points(spec, o_ref, d_ref, z_ref[...])
+    x_raw, dirs = _block_points(o_ref[...], d_ref[...], z_ref[...],
+                                spec.samples)
     dist = t_ref[...]
     inv_s = sc_ref[...][0:1, 0:1]
     r = sc_ref[...][0:1, 1:2]
@@ -591,7 +615,10 @@ def _bwd_kernel(spec: FusedNeuSSpec, *refs):
     dx = _sdf_reverse(ss, named, gnamed, st, comp, cs_tot, v, cf) + cx_rgb
 
     # ---- point/dir cots -> ray cots (reduce over samples in-kernel) -----
-    _ray_cots(spec, d_ref, z_ref[...], dx, c_dirs, do_ref, dd_ref, dz_ref)
+    dz, do, dd = _ray_cots(d_ref[...], z_ref[...], dx, c_dirs, spec.samples)
+    dz_ref[...] = dz
+    do_ref[...] = do
+    dd_ref[...] = dd
 
 
 def _bwd_kernel_ray(spec: FusedNeuSSpec, *refs):
@@ -620,72 +647,85 @@ def _bwd_kernel_ray(spec: FusedNeuSSpec, *refs):
         for rr in outs[5:]:
             rr[...] = jnp.zeros(rr.shape, rr.dtype)
 
-    z_pt = _rs_to_pt(spec, z_ref[...])
-    x_raw, dirs = _block_points(spec, o_ref, d_ref, z_pt)
+    S = spec.samples
+    n_sub = _n_sub(spec)
+    h = spec.rays_per_block // n_sub
     inv_s = sc_ref[...][0:1, 0:1]
     r = sc_ref[...][0:1, 1:2]
-
-    c_col = ccol_ref[...]
-    c_nw = cnw_ref[...]
-    c_ws = cws_ref[...]
     c_num = ceik_ref[...][0:1, 0:1]
-
-    # ---- recompute forward states (no reverse sweep: residuals) --------
-    st = _sdf_forward_states(ss, named, x_raw, consts, need_gradient=False)
-    feat = st["feat"]
-    sdf = sdf_in_ref[...]
-    g = g_in_ref[...]
-
-    acts_c, head_raw = _color_recompute(cs, named, x_raw, g, dirs, feat)
-    rgb = head_raw[:, : c_col.shape[1]]
-    if cs.squeeze_out:
-        rgb = jax.nn.sigmoid(rgb)
-
-    # ---- alpha chain + compositing: ONE in-kernel jax.vjp, RAY-MAJOR ---
-    # the chain operands (sdf, true-cos, dists) enter (Rb, S) so the vjp's
-    # elementwise sweeps run at full VPU lane density; g's chain cotangent
-    # comes back through tc = dirs . g below
-    tc = jnp.sum(dirs * g, axis=-1, keepdims=True)  # (B, 1)
-    s_rs = _pt_to_rs(spec, sdf)
-    tc_rs = _pt_to_rs(spec, tc)
-
-    def chain_comp(s_, tc_, t_, iv, rgb_, g_):
-        return _composite_rs(spec, s_, tc_, t_, iv, r, rgb_, g_)
-
-    _, vjp_c = jax.vjp(chain_comp, s_rs, tc_rs, t_ref[...], inv_s, rgb, g)
-    cs_rs, ctc_rs, ct_rs, civs, crgb, cg_comp = vjp_c((c_col, c_nw, c_ws))
-    cs_a = _rs_to_pt(spec, cs_rs)
-    ctc = _rs_to_pt(spec, ctc_rs)
-    cg_a = cg_comp + ctc * dirs
-    cd_a = ctc * g
-
-    pts_norm = jnp.sqrt(jnp.sum(x_raw * x_raw, axis=-1, keepdims=True))
-    relax = (pts_norm < 1.2).astype(jnp.float32)
-
-    def eik_num(g_):
-        n, _ = _eik_terms(g_, relax)
-        return n
-
-    _, vjp_e = jax.vjp(eik_num, g)
-    (cg_eik,) = vjp_e(c_num)
-
-    # ---- color reverse -------------------------------------------------
-    # crgb is the cot on POST-sigmoid rgb — same convention as _bwd_kernel
-    cx_rgb, cg_rgb, cd_rgb, cf = _color_reverse(
-        cs, named, gnamed, crgb, head_raw, acts_c, x_raw, g, dirs, feat
-    )
-
-    # ---- totals + SDF reverse + ray cots (shared machinery) ------------
-    cs_tot = cs_a / ss.scale
-    v = cg_rgb + cg_a + cg_eik
-    c_dirs = cd_rgb + cd_a
-    dt_ref[...] = ct_rs  # dists cot is already RAY-MAJOR from the vjp
     lane = jax.lax.broadcasted_iota(jnp.int32, dsc_ref.shape, 1)
-    dsc_ref[...] += jnp.where(lane == 0, civs, 0.0)
 
-    dx = _sdf_reverse(ss, named, gnamed, st, comp, cs_tot, v, cf) + cx_rgb
-    _ray_cots(spec, d_ref, z_pt, dx, c_dirs, do_ref, dd_ref, dz_ref,
-              ray_major_dz=True)
+    for k in range(n_sub):
+        rs = slice(k * h, (k + 1) * h)
+        ps = slice(k * h * S, (k + 1) * h * S)
+        z_pt = _rs_to_pt(z_ref[rs, :])
+        dirs_blk = d_ref[rs, :]
+        x_raw, dirs = _block_points(o_ref[rs, :], dirs_blk, z_pt, S)
+
+        c_col = ccol_ref[rs, :]
+        c_nw = cnw_ref[rs, :]
+        c_ws = cws_ref[rs, :]
+
+        # ---- recompute forward states (no reverse sweep: residuals) ----
+        st = _sdf_forward_states(ss, named, x_raw, consts,
+                                 need_gradient=False)
+        feat = st["feat"]
+        sdf = sdf_in_ref[ps, :]
+        g = g_in_ref[ps, :]
+
+        acts_c, head_raw = _color_recompute(cs, named, x_raw, g, dirs, feat)
+        rgb = head_raw[:, : c_col.shape[1]]
+        if cs.squeeze_out:
+            rgb = jax.nn.sigmoid(rgb)
+
+        # ---- alpha chain + compositing: ONE in-kernel jax.vjp, RAY-MAJOR
+        # the chain operands (sdf, true-cos, dists) enter (Rb, S) so the
+        # vjp's elementwise sweeps run at full VPU lane density; g's chain
+        # cotangent comes back through tc = dirs . g below
+        tc = jnp.sum(dirs * g, axis=-1, keepdims=True)  # (B, 1)
+        s_rs = _pt_to_rs(sdf, S)
+        tc_rs = _pt_to_rs(tc, S)
+
+        def chain_comp(s_, tc_, t_, iv, rgb_, g_):
+            return _composite_rs(s_, tc_, t_, iv, r, rgb_, g_)
+
+        _, vjp_c = jax.vjp(chain_comp, s_rs, tc_rs, t_ref[rs, :], inv_s,
+                           rgb, g)
+        cs_rs, ctc_rs, ct_rs, civs, crgb, cg_comp = vjp_c((c_col, c_nw, c_ws))
+        cs_a = _rs_to_pt(cs_rs)
+        ctc = _rs_to_pt(ctc_rs)
+        cg_a = cg_comp + ctc * dirs
+        cd_a = ctc * g
+
+        pts_norm = jnp.sqrt(jnp.sum(x_raw * x_raw, axis=-1, keepdims=True))
+        relax = (pts_norm < 1.2).astype(jnp.float32)
+
+        def eik_num(g_):
+            n, _ = _eik_terms(g_, relax)
+            return n
+
+        _, vjp_e = jax.vjp(eik_num, g)
+        (cg_eik,) = vjp_e(c_num)
+
+        # ---- color reverse ---------------------------------------------
+        # crgb is the cot on POST-sigmoid rgb — same as _bwd_kernel
+        cx_rgb, cg_rgb, cd_rgb, cf = _color_reverse(
+            cs, named, gnamed, crgb, head_raw, acts_c, x_raw, g, dirs, feat
+        )
+
+        # ---- totals + SDF reverse + ray cots (shared machinery) --------
+        cs_tot = cs_a / ss.scale
+        v = cg_rgb + cg_a + cg_eik
+        c_dirs = cd_rgb + cd_a
+        dt_ref[rs, :] = ct_rs  # dists cot is already RAY-MAJOR from the vjp
+        dsc_ref[...] += jnp.where(lane == 0, civs, 0.0)
+
+        dx = _sdf_reverse(ss, named, gnamed, st, comp, cs_tot, v, cf) + cx_rgb
+        dz, do, dd = _ray_cots(dirs_blk, z_pt, dx, c_dirs, S,
+                               ray_major_dz=True)
+        dz_ref[rs, :] = dz
+        do_ref[rs, :] = do
+        dd_ref[rs, :] = dd
 
 
 def _sdf_reverse(ss, named, gnamed, st, comp, cs_tot, v, cf):
@@ -771,22 +811,20 @@ def _sdf_reverse(ss, named, gnamed, st, comp, cs_tot, v, cf):
     return cx3 * ss.scale  # cot on raw points (B, 3), color path excluded
 
 
-def _ray_cots(spec, d_ref, z, dx, c_dirs, do_ref, dd_ref, dz_ref,
-              ray_major_dz=False):
+def _ray_cots(d, z, dx, c_dirs, S: int, ray_major_dz=False):
     """Reduce per-point (B, 3) point/dir cots over samples to ray cots.
-    ``z`` is the point-major (B, 1) z value; ``ray_major_dz`` emits the
-    z cot as (Rb, S) (per-ray kernel variant) instead of (B, 1)."""
-    Rb, S = spec.rays_per_block, spec.samples
+    ``d`` is the (Rb, 3) ray-direction block (or sub-slice), ``z`` the
+    point-major (B, 1) z value; ``ray_major_dz`` emits the z cot as
+    (Rb, S) (per-ray kernel variant) instead of (B, 1). Returns
+    (dz, do, dd) for the caller to write."""
+    Rb = d.shape[0]
     B = Rb * S
-    d_full = jnp.broadcast_to(
-        d_ref[...][:, None, :], (Rb, S, 3)
-    ).reshape(B, 3)
+    d_full = jnp.broadcast_to(d[:, None, :], (Rb, S, 3)).reshape(B, 3)
     dz_pt = jnp.sum(dx * d_full, axis=-1, keepdims=True)
-    dz_ref[...] = _pt_to_rs(spec, dz_pt) if ray_major_dz else dz_pt
-    do_ref[...] = jnp.sum(dx.reshape(Rb, S, 3), axis=1)
-    dd_ref[...] = jnp.sum(
-        (dx * z + c_dirs).reshape(Rb, S, 3), axis=1
-    )
+    dz = _pt_to_rs(dz_pt, S) if ray_major_dz else dz_pt
+    do = jnp.sum(dx.reshape(Rb, S, 3), axis=1)
+    dd = jnp.sum((dx * z + c_dirs).reshape(Rb, S, 3), axis=1)
+    return dz, do, dd
 
 
 # ---------------------------------------------------------------------------
