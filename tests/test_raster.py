@@ -415,3 +415,37 @@ def test_zbuffer_kernel_close_camera_ordering():
     assert both.sum() > 100  # the sphere actually covers pixels
     agree = (fk == fx)[both].mean()
     assert agree > 0.97, f"close-camera winner agreement {agree}"
+
+
+def test_zbuffer_tiled_matches_brute_exactly():
+    """The tile-binned winner kernel (zbuffer_select_tiled) must produce
+    EXACTLY the brute-force kernel's winners — the bbox culling is
+    winner-exact (an inside pixel lies within its face's screen bbox), and
+    both share the packed key and tie-break. Covers non-multiple-of-tile
+    image sizes, non-multiple-of-FBLOCK_T face counts, and faces off
+    screen / behind the camera."""
+    from avatarclip_tpu.ops import raster_zbuffer
+
+    rng = np.random.default_rng(7)
+    V, F = 400, raster_zbuffer.FBLOCK_T + 37
+    verts = jnp.asarray(rng.normal(0.0, 0.35, (V, 3)).astype(np.float32))
+    # some vertices pushed behind the camera to exercise the in_front gate
+    verts = verts.at[:20, 2].add(3.0)
+    fj = jnp.asarray(rng.integers(0, V, (F, 3)).astype(np.int32))
+    pose = cameras.lookat(
+        jnp.array([0.1, -0.2, 1.5]), jnp.zeros(3), jnp.array([0.0, 1.0, 0.0])
+    )
+    for H, W in ((50, 70), (64, 64)):  # non-multiples and multiples of 32
+        proj = raster.project_vertices(verts, pose, H, W, 60.0)
+        coef, cvalid, _ = raster._face_coefficients(proj, fj)
+        pix = raster._pixel_matrix(H, W)
+        bf_brute = raster_zbuffer.zbuffer_select(
+            pix, coef, cvalid, interpret=True
+        )
+        bf_tiled = raster_zbuffer.zbuffer_select_tiled(
+            coef, cvalid, proj.sx[fj], proj.sy[fj], H, W, interpret=True
+        )
+        np.testing.assert_array_equal(
+            np.asarray(bf_tiled), np.asarray(bf_brute)
+        )
+        assert int((np.asarray(bf_brute) >= 0).sum()) > 50
