@@ -302,6 +302,10 @@ class Runner:
         self.tc = train_config_from_conf(conf)
         self.ncfg, self.cfgs = build_network_configs(conf)
         self.extra_color = self.cfgs.color.extra_color
+        # async metric pipeline: device scalars buffered per iteration and
+        # batch-fetched once per report window (see _flush_metrics)
+        self._metric_buf: list = []
+        self._last_flushed: dict = {}
 
         seed = conf.get_int("train.seed", 0) or 0
         self.key = jax.random.PRNGKey(seed)
@@ -919,6 +923,7 @@ class Runner:
                 metrics["iters_per_sec"] = n_it / (now - t_last)
                 t_last, it_last = now, self.iter_step
             self._post_iter(metrics)
+        self._flush_metrics()
 
     def train_clip(self):
         self.logger = MetricsLogger(os.path.join(self.base_exp_dir, "logs"))
@@ -948,6 +953,7 @@ class Runner:
                 metrics["iters_per_sec"] = n_it / (now - t_last)
                 t_last, it_last = now, self.iter_step
             self._post_iter(metrics)
+        self._flush_metrics()
 
     def profile_trace(self, out_dir: str, n_iters: int = 3):
         """Capture a jax.profiler trace of the train_clip step (SURVEY.md §5
@@ -971,9 +977,26 @@ class Runner:
         it = self.iter_step
         tc = self.tc
         if self.logger is not None and (it % 10 == 0 or it < 10):
-            self.logger.log(it, metrics)
+            # buffer the device scalars — do NOT fetch here. Each float()
+            # on a just-dispatched step's metric is a full host<->device
+            # round trip (~68 ms on the remote chip) that also drains the
+            # async dispatch queue; per-iteration fetches measured ~7-10
+            # it/s in-loop against a 14-16 it/s device rate (the 30k
+            # sculpt record, docs/VALIDATION.md). The buffer is flushed as
+            # ONE stacked transfer per report window (_flush_metrics).
+            self._metric_buf.append((it, dict(metrics)))
+        at_boundary = (
+            it % tc.report_freq == 0
+            or it % tc.save_freq == 0
+            or it % tc.val_freq == 0
+            or it % tc.val_mesh_freq == 0
+        )
+        if at_boundary:
+            self._flush_metrics()
         if it % tc.report_freq == 0:
-            m = {k: float(v) for k, v in metrics.items()}
+            m = self._last_flushed
+            if m.get("_it") != it:  # report iter not on the 10-iter cadence
+                m = {k: float(v) for k, v in metrics.items()}
             lr = float(self.lr_schedule(it))
             # surface the guidance metrics (cosine = what CLIP measures) in
             # the long-run console stream, not just the JSONL/tensorboard
@@ -989,6 +1012,34 @@ class Runner:
             self.validate_image(idx=58 if self.mode == "train_clip" else -1)
         if it % tc.val_mesh_freq == 0:
             self.validate_mesh()
+
+    def _flush_metrics(self):
+        """Drain the buffered (iter, device-metrics) records with a single
+        device->host transfer: every buffered scalar rides one stacked
+        vector, so a whole report window costs one round trip instead of
+        (records x metrics) of them. Host-side floats (iters_per_sec) pass
+        through unchanged."""
+        buf, self._metric_buf = self._metric_buf, []
+        if not buf:
+            return
+        flat: list = []
+        layout = []
+        for it, m in buf:
+            row = []
+            for k, v in m.items():
+                if isinstance(v, (bool, int, float, np.floating, np.integer)):
+                    row.append((k, None, float(v)))
+                else:
+                    row.append((k, len(flat), None))
+                    flat.append(jnp.asarray(v, jnp.float32).reshape(()))
+            layout.append((it, row))
+        vals = np.asarray(jnp.stack(flat)) if flat else None
+        for it, row in layout:
+            rec = {k: (hv if i is None else float(vals[i])) for k, i, hv in row}
+            if self.logger is not None:
+                self.logger.log(it, rec)
+            rec["_it"] = it
+            self._last_flushed = rec
 
     # -- validation / extraction ------------------------------------------
 
