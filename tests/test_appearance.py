@@ -347,3 +347,48 @@ def test_reference_example_small_conf_runner():
     r.init_clip()
     r.init_smpl()
     assert r._template[0].shape[-1] == 3
+
+
+def test_async_metric_flush_matches_sync_values(runner, tmp_path):
+    """_flush_metrics batches the whole buffered window into one stacked
+    device->host transfer; the JSONL records must be value-identical to a
+    per-metric float() fetch, keep the 10-iter cadence keys, pass host-side
+    floats through, and not leak internal bookkeeping keys."""
+    from avatarclip_tpu.utils import logging as log_mod
+
+    r = runner
+    old_logger, old_buf = getattr(r, "logger", None), r._metric_buf
+    r.logger = log_mod.MetricsLogger(str(tmp_path / "logs"), use_tensorboard=False)
+    r._metric_buf = []
+    try:
+        expected = []
+        for it in (10, 20):
+            m = {
+                "loss": jnp.float32(1.5 * it),
+                "cosine": jnp.float32(-0.25),
+                "iters_per_sec": 12.5,  # host float passes through
+            }
+            r._metric_buf.append((it, dict(m)))
+            expected.append(
+                (it, {k: float(v) for k, v in m.items()})
+            )
+        r._flush_metrics()
+        assert r._metric_buf == []
+        recs = [
+            json.loads(l)
+            for l in open(str(tmp_path / "logs" / "metrics.jsonl"))
+        ]
+        assert len(recs) == 2
+        for rec, (it, exp) in zip(recs, expected):
+            assert rec["step"] == it
+            assert "_it" not in rec
+            for k, v in exp.items():
+                assert rec[k] == pytest.approx(v, abs=0.0), k
+        # console-report cache points at the newest record
+        assert r._last_flushed["_it"] == 20
+        assert r._last_flushed["loss"] == pytest.approx(30.0)
+        # empty flush is a no-op
+        r._flush_metrics()
+        assert r._last_flushed["_it"] == 20
+    finally:
+        r.logger, r._metric_buf = old_logger, old_buf
