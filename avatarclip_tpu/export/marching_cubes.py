@@ -225,11 +225,13 @@ def _extract_fields_tiled(
 
 
 def extract_geometry(
-    bound_min, bound_max, resolution: int, threshold: float, query_fn
+    bound_min, bound_max, resolution: int, threshold: float, query_fn,
+    hierarchical: bool | None = None,
 ):
     """Grid eval + marching tets + world-space rescale (renderer.py:28-36)."""
     u = extract_fields(
-        bound_min, bound_max, resolution, query_fn, threshold=threshold
+        bound_min, bound_max, resolution, query_fn, threshold=threshold,
+        hierarchical=hierarchical,
     )
     verts, tris = marching_cubes(u, threshold)
     bmin = np.asarray(bound_min, np.float32)
