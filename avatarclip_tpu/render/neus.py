@@ -94,14 +94,11 @@ def sample_pdf(
     below = jnp.maximum(inds - 1, 0)
     above = jnp.minimum(inds, cdf.shape[-1] - 1)
 
-    # the four row-wise gathers as two one-hot dots (take_along_axis lowers
+    # the four row-wise gathers as one-hot dots (take_along_axis lowers
     # to ~1-2ms dynamic gathers each on TPU v5e; the dots are exact since
     # every one-hot row has a single 1 — see _gather_cols / docs/PROFILE.md)
-    cb = jnp.stack([cdf, bins], axis=1)  # (R, 2, B)
-    g0 = _gather_cols(cb, below)  # (R, 2, N)
-    g1 = _gather_cols(cb, above)
-    cdf_g0, bins_g0 = g0[:, 0, :], g0[:, 1, :]
-    cdf_g1, bins_g1 = g1[:, 0, :], g1[:, 1, :]
+    cdf_g0, bins_g0 = _gather_cols([cdf, bins], below)
+    cdf_g1, bins_g1 = _gather_cols([cdf, bins], above)
 
     denom = cdf_g1 - cdf_g0
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
@@ -109,21 +106,25 @@ def sample_pdf(
     return bins_g0 + t * (bins_g1 - bins_g0)
 
 
-def _gather_cols(vals: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Row-wise gather ``out[r, c, n] = vals[r, c, idx[r, n]]`` as a one-hot
-    dot (vals (R, C, B), idx (R, N) -> (R, C, N)). Bit-exact: each one-hot
-    column has exactly one nonzero, so the "sum" is a copy. Rides the
-    MXU/VPU instead of TPU dynamic-gather (see docs/PROFILE.md)."""
-    B = vals.shape[-1]
+def _gather_cols(vals: list, idx: jnp.ndarray) -> list:
+    """Row-wise gather ``out[r, n] = v[r, idx[r, n]]`` for one or more
+    (R, B) channels sharing one one-hot (idx (R, N)). Bit-exact: each
+    one-hot column has exactly one nonzero, so the "sum" is a copy. Rides
+    the MXU/VPU instead of TPU dynamic-gather (see docs/PROFILE.md). The
+    channels stay 2-D throughout — stacked (R, C, B) forms tile as
+    T(2,128) on TPU (sublane dim C=2 padded to 8, 4x the vector passes)."""
+    B = vals[0].shape[-1]
     onehot = (
         jnp.arange(B, dtype=idx.dtype)[None, :, None] == idx[:, None, :]
-    ).astype(vals.dtype)  # (R, B, N)
-    return jax.lax.dot_general(
-        vals,
-        onehot,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=vals.dtype,
-    )
+    ).astype(vals[0].dtype)  # (R, B, N)
+    return [
+        jax.lax.dot_general(
+            v, onehot,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=v.dtype,
+        )
+        for v in vals
+    ]
 
 
 def up_sample(
@@ -184,28 +185,30 @@ def _merge_sorted(a: jnp.ndarray, b: jnp.ndarray):
     return pos_a, pos_b
 
 
-def _permute_rows(pos, vals, total: int):
-    """Place ``vals[r, i]`` at output column ``pos[r, i]`` for one or more
-    value channels.
+def _permute_rows(pos, vals: list, total: int):
+    """Place ``v[r, i]`` at output column ``pos[r, i]`` for one or more
+    (R, S) value channels sharing one one-hot.
 
     ``pos`` is (R, S) with each row a permutation of a subset of
-    range(total); ``vals`` is (R, C, S). Implemented as a one-hot matmul
-    (``vals^T @ onehot(pos)``) instead of ``out.at[row, pos].set(vals)``:
-    profiling the full train_clip step showed each 700k-element scatter
-    costing ~3ms on TPU v5e (14 of them = 25% of the whole step,
-    docs/PROFILE.md) while the equivalent batched (C,S)x(S,total) matmul
-    rides the MXU in microseconds. The one-hot weights are exactly 0/1 so
-    the result is bit-exact for f32 values.
-    """
+    range(total). Implemented as a one-hot matmul (``v @ onehot(pos)``)
+    instead of ``out.at[row, pos].set(v)``: profiling the full train_clip
+    step showed each 700k-element scatter costing ~3ms on TPU v5e (14 of
+    them = 25% of the whole step, docs/PROFILE.md) while the equivalent
+    one-hot matmul rides the MXU in microseconds. The one-hot weights are
+    exactly 0/1 so the result is bit-exact for f32 values. Channels stay
+    2-D — stacked (R, C, S) forms tile as T(2,128) on TPU (sublane dim
+    C=2 padded to 8, 4x the vector passes)."""
     onehot = (pos[:, :, None] == jnp.arange(total)[None, None, :]).astype(
-        vals.dtype
-    )
-    return jax.lax.dot_general(
-        vals,
-        onehot,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=vals.dtype,
-    )  # (R, C, total)
+        vals[0].dtype
+    )  # (R, S, total)
+    return [
+        jax.lax.dot_general(
+            v, onehot,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=v.dtype,
+        )
+        for v in vals
+    ]  # each (R, total)
 
 
 def cat_z_vals(
@@ -223,24 +226,22 @@ def cat_z_vals(
     pos_a, pos_b = _merge_sorted(z_vals, new_z_vals)
     pos_cat = jnp.concatenate([pos_a, pos_b], axis=-1)  # (R, A+B)
     if last:
-        vals_a = z_vals[:, None, :]  # (R, 1, A)
-        vals_b = new_z_vals[:, None, :]
-        merged = _permute_rows(
-            pos_cat, jnp.concatenate([vals_a, vals_b], axis=-1), A + B
+        (z_merged,) = _permute_rows(
+            pos_cat, [jnp.concatenate([z_vals, new_z_vals], axis=-1)], A + B
         )
-        return merged[:, 0, :], sdf
+        return z_merged, sdf
     pts = rays_o[:, None, :] + rays_d[:, None, :] * new_z_vals[..., None]
     new_sdf = sdf_fn(pts.reshape(-1, 3)).reshape(new_z_vals.shape)
-    # one one-hot permutation applied to both channels (z, sdf) at once
-    vals = jnp.concatenate(
+    # one one-hot permutation applied to both channels (z, sdf)
+    z_merged, sdf_merged = _permute_rows(
+        pos_cat,
         [
-            jnp.stack([z_vals, sdf], axis=1),  # (R, 2, A)
-            jnp.stack([new_z_vals, new_sdf], axis=1),  # (R, 2, B)
+            jnp.concatenate([z_vals, new_z_vals], axis=-1),  # (R, A+B)
+            jnp.concatenate([sdf, new_sdf], axis=-1),
         ],
-        axis=-1,
+        A + B,
     )
-    merged = _permute_rows(pos_cat, vals, A + B)  # (R, 2, A+B)
-    return merged[:, 0, :], merged[:, 1, :]
+    return z_merged, sdf_merged
 
 
 def render_core_outside(
