@@ -673,9 +673,6 @@ class Runner:
                         jnp.repeat(bg_img.reshape(-1, 1), 3, -1),
                     ),
                 )
-                def scatter(vals, fill):
-                    return fill.at[idx].set(vals)
-
                 # Unrendered-pixel fills. The reference renders EVERY
                 # dilated-mask pixel (adaptive resolution, dataset.py:258);
                 # with a static ray budget, body pixels beyond the budget
@@ -688,11 +685,30 @@ class Runner:
                 # those pixels simply don't exist in the W^2 grid).
                 body = mask_img.reshape(-1, 1) > 0.5
                 clip_fill = jnp.where(body, true_rgb, bg3)
-                color_dense = scatter(color_fine, true_rgb)
-                ws_dense = scatter(ws[:, None], body.astype(jnp.float32))
-                extra_dense = scatter(extra, clip_fill)
-                tex_dense = scatter(texture_shading, clip_fill)
-                shade_dense = scatter(shading_rgb, clip_fill)
+                # ONE multi-channel scatter instead of one per image: each
+                # (S^2, c<=3) scatter pays full 128-lane passes over the
+                # dense output (and a gather each in the backward), so the
+                # channels are concatenated, scattered once, and sliced
+                # back. Channel values are untouched — bit-exact vs the
+                # per-image form. Only channels the active config consumes
+                # are included (matching what XLA DCE'd before).
+                chans = [
+                    (color_fine, true_rgb),
+                    (ws[:, None], body.astype(jnp.float32)),
+                    (
+                        texture_shading if tc.texture_cast_light else extra,
+                        clip_fill,
+                    ),
+                ]
+                if tc.add_no_texture:
+                    chans.append((shading_rgb, clip_fill))
+                dense = jnp.concatenate([f for _, f in chans], axis=1).at[
+                    idx
+                ].set(jnp.concatenate([v for v, _ in chans], axis=1))
+                color_dense = dense[:, 0:3]
+                ws_dense = dense[:, 3:4]
+                clip_src = dense[:, 4:7]
+                shade_dense = dense[:, 7:10] if tc.add_no_texture else None
 
                 # losses (main.py:489-534)
                 color_error = (color_dense - true_rgb) * mask
@@ -710,7 +726,6 @@ class Runner:
                     -(mask * jnp.log(wsc) + (1 - mask) * jnp.log(1 - wsc))
                 )
 
-                clip_src = tex_dense if tc.texture_cast_light else extra_dense
                 clip_in = clip_model.resize_to_clip(
                     clip_src.reshape(1, S, S, 3), clip_cfg.image_size
                 )
