@@ -41,8 +41,41 @@ import time
 V5E_BF16_PEAK = 197e12
 
 
+def _device_reachable(timeout=300):
+    """Probe backend init in a subprocess: the remote-TPU ('axon') plugin
+    registers in every process and HANGS jax.devices() indefinitely when the
+    tunnel is down, so a dead chip would otherwise hang the whole benchmark
+    instead of failing it."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print('BACKEND=' + jax.default_backend())"],
+            capture_output=True, timeout=timeout, text=True,
+        )
+        for line in r.stdout.splitlines():
+            if line.startswith("BACKEND="):
+                return line.split("=", 1)[1]
+        return None
+    except subprocess.TimeoutExpired:
+        return None
+
+
 def main():
     import os
+
+    backend = _device_reachable()
+    if backend is None:
+        print(json.dumps({
+            "metric": "train_clip NeuS rays/sec/chip (full fused step, parity workload)",
+            "value": 0.0,
+            "unit": "rays/s",
+            "vs_baseline": 0.0,
+            "error": "device backend unreachable (TPU tunnel down?); "
+                     "benchmark not run",
+        }))
+        return
 
     import jax
     import numpy as np
@@ -201,6 +234,7 @@ def main():
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / baseline, 3),
+        "backend": backend,
         "workload": {
             "rays": R,
             "samples": 64,
