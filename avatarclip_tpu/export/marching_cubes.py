@@ -122,16 +122,23 @@ def extract_fields(
     (res, res, res) numpy field with u[x, y, z] layout.
 
     ``hierarchical`` (default: on for resolution >= 256 when the tile size
-    divides it) skips empty space: a cheap coarse pass over tile-corner
-    points bounds the field per 16-voxel tile, and tiles the iso-surface
-    provably cannot reach — assuming ``|grad u| <= lipschitz_bound``, safe
-    for eikonal-regularized SDFs whose true gradient norm is ~1 — are
+    divides it) skips empty space: a cheap coarse pass over tile corners
+    AND tile centers bounds the field per 16-voxel tile, and tiles the
+    iso-surface cannot reach under the gradient-bound assumption are
     filled with their (side-correct) corner mean instead of being
-    evaluated. Marching cubes only reads threshold crossings, and the skip
-    margin includes a one-voxel halo, so the extracted mesh is identical
-    to the dense pass; the SDF MLP evaluation count drops to the tiles
-    within the margin band of the surface. Set ``hierarchical=False`` to
-    force the reference's dense behavior.
+    evaluated. The skip margin includes a one-voxel halo, so marching
+    cubes (which only reads threshold crossings) produces the same mesh
+    as the dense pass whenever the assumption holds.
+
+    THE GUARANTEE IS CONDITIONAL: it assumes ``|grad u| <=`` the working
+    bound, which starts at ``lipschitz_bound`` and self-widens to 1.5x the
+    steepest slope observed at either the coarse lattice or the finely
+    evaluated tiles (re-activating tiles until stable). Eikonal-regularized
+    SDFs have true gradient norm ~1, so the default bound of 2 carries a
+    2x safety factor; but a field that hides a >=2x-steeper feature inside
+    a tile while showing gentle slopes everywhere sampled could lose that
+    feature. ``hierarchical=False`` restores the reference's
+    unconditionally exact dense behavior (renderer.py:10-36).
     """
     xs, ys, zs = _grid_axes(bound_min, bound_max, resolution)
     tile = 16
@@ -153,9 +160,11 @@ def _extract_fields_tiled(
     lipschitz_bound: float, threshold: float,
 ) -> np.ndarray:
     """Coarse-to-fine field evaluation (see extract_fields). The field is
-    evaluated exactly on every tile the surface band can touch; skipped
-    tiles hold their coarse corner mean, whose sign is provably that of
-    the true field everywhere in the tile."""
+    evaluated exactly on every tile the surface band can touch under the
+    working gradient bound; skipped tiles hold their coarse corner mean,
+    whose sign matches the true field everywhere in the tile under the
+    same bound. The bound self-widens from BOTH the coarse lattice and the
+    finely evaluated tiles, re-activating tiles until stable."""
     nt = resolution // tile
     # tile-corner lattice: fine indices 0, tile, ..., resolution-1 (the
     # closing corner rides the last fine point)
@@ -164,17 +173,33 @@ def _extract_fields_tiled(
     cpts = np.stack([cx, cy, cz], axis=-1).reshape(-1, 3)
     cu = _eval_points(cpts, query_fn, chunk).reshape(nt + 1, nt + 1, nt + 1)
 
-    # per-tile corner stats via 2x2x2 windows
+    # tile CENTERS join the coarse pass (nt^3 extra points, trivial vs the
+    # fine grid): they catch interior features the corner lattice cannot
+    # see and tighten the covering radius from (sqrt(3)/2)*t*h to
+    # (sqrt(5)/4)*t*h — the farthest any tile point sits from its nearest
+    # sample among {8 corners, center} (worst case: edge-adjacent face
+    # points like (t/2, t/4, 0))
+    mi = np.minimum(np.arange(nt) * tile + tile // 2, resolution - 1)
+    mx, my, mz = np.meshgrid(xs[mi], ys[mi], zs[mi], indexing="ij")
+    mpts = np.stack([mx, my, mz], axis=-1).reshape(-1, 3)
+    mu = _eval_points(mpts, query_fn, chunk).reshape(nt, nt, nt)
+
+    # per-tile corner stats via 2x2x2 windows, extended by the center
     w = np.lib.stride_tricks.sliding_window_view(cu, (2, 2, 2))  # (nt,nt,nt,2,2,2)
-    cmin = w.min(axis=(3, 4, 5))
-    cmax = w.max(axis=(3, 4, 5))
+    cmin = np.minimum(w.min(axis=(3, 4, 5)), mu)
+    cmax = np.maximum(w.max(axis=(3, 4, 5)), mu)
     cmean = w.mean(axis=(3, 4, 5), dtype=np.float64).astype(np.float32)
 
+    hx = float(xs[1] - xs[0]) if resolution > 1 else 0.0
+    hy = float(ys[1] - ys[0]) if resolution > 1 else 0.0
+    hz = float(zs[1] - zs[0]) if resolution > 1 else 0.0
+    h = max(hx, hy, hz)
+
     # safety valve for nets that violate the assumed gradient bound (e.g.
-    # an untrained SDF before the eikonal term bites): the observed
-    # coarse-level slope lower-bounds the true Lipschitz constant; when it
-    # exceeds the assumption, widen the margin accordingly (skips less,
-    # stays exact for nets up to 1.5x the worst observed slope)
+    # an untrained SDF before the eikonal term bites): every observed
+    # slope lower-bounds the true Lipschitz constant; when it exceeds the
+    # assumption, widen the margin accordingly (skips less, stays exact
+    # for nets up to 1.5x the worst observed slope)
     l_obs = max(
         float(
             (np.abs(np.diff(cu, axis=ax)) / np.maximum(
@@ -183,29 +208,38 @@ def _extract_fields_tiled(
         )
         for ax, axv in ((0, xs), (1, ys), (2, zs))
     )
+    # center-vs-corner slopes over the half-diagonal distance
+    d_cc = 0.5 * tile * np.sqrt(hx * hx + hy * hy + hz * hz)
+    if d_cc > 0:
+        l_obs = max(
+            l_obs,
+            float(np.abs(w - mu[..., None, None, None]).max()) / d_cc,
+        )
     bound = max(lipschitz_bound, 1.5 * l_obs)
 
-    # farthest any tile point sits from its nearest corner is half the tile
-    # diagonal; add a one-fine-voxel halo so cells STRADDLING a skipped-tile
-    # boundary cannot cross the threshold either (their inside corners stay
-    # margin-covered), keeping the marching-cubes output bit-identical
-    h = max(
-        float(xs[1] - xs[0]), float(ys[1] - ys[0]), float(zs[1] - zs[0])
-    ) if resolution > 1 else 0.0
-    half_diag = 0.5 * np.sqrt(3.0) * tile * h
-    margin = bound * (half_diag + np.sqrt(3.0) * h)
+    # covering radius of {corners, center} plus a one-fine-voxel halo so
+    # cells STRADDLING a skipped-tile boundary cannot cross the threshold
+    # either (their inside corners stay margin-covered), keeping the
+    # marching-cubes output identical under the bound
+    cover = 0.25 * np.sqrt(5.0) * tile * h
     same_side = (cmin > threshold) == (cmax > threshold)
     dist = np.minimum(np.abs(cmin - threshold), np.abs(cmax - threshold))
-    active = ~(same_side & (dist > margin))
 
     # start from the per-tile corner mean everywhere (side-correct for every
-    # skipped tile), then overwrite the active tiles with exact values
+    # skipped tile), then overwrite active tiles with exact values; the
+    # bound escalates from the observed FINE slope of evaluated tiles, so a
+    # globally-steeper-than-assumed net re-activates and re-checks skips
     out = (
         cmean.repeat(tile, 0).repeat(tile, 1).repeat(tile, 2).astype(np.float32)
     )
-    ai, aj, ak = np.nonzero(active)
-    if ai.size:
-        t_axis = np.arange(tile)
+    evaluated = np.zeros((nt, nt, nt), bool)
+    t_axis = np.arange(tile)
+    while True:
+        margin = bound * (cover + np.sqrt(3.0) * h)
+        active = ~(same_side & (dist > margin)) & ~evaluated
+        ai, aj, ak = np.nonzero(active)
+        if ai.size == 0:
+            break
         gx = xs[ai[:, None] * tile + t_axis]  # (n, tile)
         gy = ys[aj[:, None] * tile + t_axis]
         gz = zs[ak[:, None] * tile + t_axis]
@@ -221,6 +255,19 @@ def _extract_fields_tiled(
                 j * tile : (j + 1) * tile,
                 k * tile : (k + 1) * tile,
             ] = vals[n]
+        evaluated[ai, aj, ak] = True
+        l_fine = max(
+            (
+                float(np.abs(np.diff(vals, axis=ax)).max()) / hh
+                for ax, hh in ((1, hx), (2, hy), (3, hz))
+                if vals.shape[ax] > 1 and hh > 0
+            ),
+            default=0.0,
+        )
+        new_bound = max(bound, 1.5 * l_fine)
+        if new_bound <= bound:
+            break
+        bound = new_bound  # widen and re-check the remaining skips
     return out
 
 

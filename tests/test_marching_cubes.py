@@ -102,6 +102,53 @@ def test_hierarchical_extraction_matches_dense(monkeypatch):
     np.testing.assert_allclose(vd, vh, rtol=0, atol=0)  # bit-identical
 
 
+def test_hierarchical_escalation_recovers_hidden_steep_feature(monkeypatch):
+    """Round-3 hardening: a small steep blob sits in a tile the initial
+    (bound=2) margin test skips — its 9 coarse samples all read far below
+    the threshold — while a benign near-surface ripple is steep enough that
+    the FINE pass observes the gradient-bound violation. The self-widening
+    escalation loop must re-activate the skipped tiles and reproduce the
+    dense mesh, blob included."""
+    h = 2.2 / 255.0
+    sig = 3.0 * h
+    # blob center offset (4, 4, 8) fine voxels into a tile: ~9.8 voxels from
+    # the nearest tile corner, ~5.7 from the tile center — nearly invisible
+    # to the coarse pass, but crossing the threshold at its core
+    idx = np.array([208 + 4, 96 + 4, 128 + 8], np.float64)
+    p0 = jnp.asarray(idx / 255.0 * 2.2 - 1.1, jnp.float32)
+
+    def query(p):
+        r = jnp.linalg.norm(p, axis=-1)
+        ripple = 0.04 * jnp.sin(80.0 * p[..., 0])
+        d2 = jnp.sum((p - p0) ** 2, axis=-1)
+        blob = 0.6 * jnp.exp(-d2 / (2.0 * sig * sig))
+        return 0.45 - r + ripple + blob
+
+    calls = []
+    real_eval = mc._eval_points
+
+    def counting_eval(pts, query_fn, chunk):
+        calls.append(pts.shape[0])
+        return real_eval(pts, query_fn, chunk)
+
+    monkeypatch.setattr(mc, "_eval_points", counting_eval)
+    res, bmin, bmax = 256, [-1.1] * 3, [1.1] * 3
+    u_dense = mc.extract_fields(bmin, bmax, res, query, hierarchical=False)
+    calls.clear()
+    u_hier = mc.extract_fields(bmin, bmax, res, query, hierarchical=True)
+    # corners + centers + at least two fine rounds = the escalation fired
+    assert len(calls) >= 4, calls
+
+    vd, td = mc.marching_cubes(u_dense, 0.0)
+    vh, th = mc.marching_cubes(u_hier, 0.0)
+    # the dense mesh really contains the blob component
+    world_d = vd / (res - 1.0) * 2.2 - 1.1
+    assert (np.linalg.norm(world_d - np.asarray(p0), axis=-1) < 0.05).any()
+    assert td.shape == th.shape and vd.shape == vh.shape
+    np.testing.assert_array_equal(td, th)
+    np.testing.assert_allclose(vd, vh, rtol=0, atol=0)
+
+
 def test_hierarchical_default_gate_and_threshold():
     """Default gate: dense below 256 / non-divisible; the nonzero-threshold
     band test keeps the same exactness (mesh identical to dense)."""
