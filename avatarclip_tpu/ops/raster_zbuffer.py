@@ -6,23 +6,23 @@ edge/depth intermediate is its bandwidth bill — ~4 GB of HBM traffic per
 192^2 x 13.8k-face GT template render (~15 ms on v5e, 16% of the train_clip
 step, docs/PROFILE.md). This kernel keeps the whole (pixel-block x
 face-block) tile in VMEM: four small MXU dots produce the three barycentric
-edge values and the screen-linear inverse depth, the winner is packed as
-``(quantized inv_z << 14) | global_face_id`` and max-accumulated into the
-revisited output block across the sequential face-block grid dimension —
-nothing of size P x F ever reaches HBM.
+edge values and the screen-linear inverse depth, and the per-pixel winner is
+carried across the sequential face-block grid dimension as a PAIR of
+revisited output blocks — exact float32 inverse depth plus int32 global face
+id, updated where the block's best (iz, fid) lexicographically beats the
+running one — so nothing of size P x F ever reaches HBM.
 
 The kernel returns only the winning face id per pixel (an argmax — discrete,
 no gradient), exactly like the XLA scan it replaces; the caller recomputes
 exact barycentrics and inverse depth for the winner from the differentiable
 coefficients, so gradients w.r.t. vertices are untouched.
 
-Precision: the selection key quantizes inv_z to 2^-13 over the same
-representable range as the XLA path (inv_z up to 16, i.e. depth >= 1/16 —
-with 17 value bits above the 14 face-id bits, IZ_SCALE = 2^13 gives
-IZ_MAX/IZ_SCALE = 131071/8192 ~= 16.0; the XLA path uses 2^-16 steps with
-an 11-bit local id and the same saturation point). Ties resolve toward the
-higher face id. The winner's depth/barycentrics are recomputed exactly
-afterwards either way.
+Precision: selection orders by EXACT f32 inverse depth (no quantization, no
+range limit, any face count), ties resolving toward the higher face id —
+strictly finer than the XLA scan fallback, which stores its edge/depth tile
+in bf16 for bandwidth and quantizes the packed key (ADVICE r2 / round-3
+review: the earlier packed-int32 key traded 4x depth resolution for range;
+the pair carry needs neither trade).
 
 Used for the detached GT template renders (reference:
 AvatarGen/AppearanceGen/main.py:360 ``render_one_batch``) and every other
@@ -41,15 +41,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 PBLOCK = 2048  # pixels per tile
 FBLOCK = 1024  # faces per tile
-FID_BITS = 14  # supports F < 16384 per raster call after padding
-# inv-depth quantization: 2^13 steps per unit 1/z. With 31 - FID_BITS = 17
-# value bits this saturates at inv_z = (2^17 - 1) / 2^13 ~= 16.0 — the same
-# range as the XLA scan path, so cameras as close as depth 1/16 still order
-# correctly (the previous 2^15 scale clamped everything nearer than depth
-# 0.25 to IZ_MAX, degenerating the winner to highest-face-id for the face
-# camera at distance 0.4).
-IZ_SCALE = 8192.0
-IZ_MAX = float(2 ** (31 - FID_BITS) - 1)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -72,12 +63,34 @@ TBLOCK = TILE_H * TILE_W  # pixels per tile block
 FBLOCK_T = 512  # faces per block in the tiled kernel (finer = better culling)
 
 
-def _zbuffer_kernel(c0_ref, c1_ref, c2_ref, cz_ref, vmask_ref, pix_ref, out_ref):
+def _select_update(b0, b1, b2, iz, vmask, fid0, iz_ref, fid_ref):
+    """Per-(pixel-block, face-block) winner update: lexicographic max of
+    (exact f32 inverse depth, global face id) against the running pair in the
+    revisited output refs. Background sentinel: (-1.0, -1)."""
+    inside = (
+        (b0 >= 0.0) & (b1 >= 0.0) & (b2 >= 0.0) & (iz > 0.0) & (vmask > 0)
+    )
+    iz_in = jnp.where(inside, iz, -1.0)
+    best_iz = jnp.max(iz_in, axis=1, keepdims=True)  # (PB, 1)
+    fid = fid0 + jax.lax.broadcasted_iota(jnp.int32, iz_in.shape, 1)
+    # among the columns achieving best_iz (and inside), the highest face id
+    cand = jnp.where((iz_in == best_iz) & inside, fid, -1)
+    best_fid = jnp.max(cand, axis=1, keepdims=True)
+    cur_iz = iz_ref[...]
+    cur_fid = fid_ref[...]
+    take = (best_iz > cur_iz) | ((best_iz == cur_iz) & (best_fid > cur_fid))
+    iz_ref[...] = jnp.where(take, best_iz, cur_iz)
+    fid_ref[...] = jnp.where(take, best_fid, cur_fid)
+
+
+def _zbuffer_kernel(c0_ref, c1_ref, c2_ref, cz_ref, vmask_ref, pix_ref,
+                    iz_ref, fid_ref):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _init():
-        out_ref[...] = jnp.full_like(out_ref, -1)
+        iz_ref[...] = jnp.full_like(iz_ref, -1.0)
+        fid_ref[...] = jnp.full_like(fid_ref, -1)
 
     pix = pix_ref[...]  # (PBLOCK, 3) f32
     # four (PBLOCK,3)x(3,FBLOCK) dots: the entire tile stays in VMEM
@@ -90,19 +103,7 @@ def _zbuffer_kernel(c0_ref, c1_ref, c2_ref, cz_ref, vmask_ref, pix_ref, out_ref)
     b1 = dot(pix, c1_ref[...])
     b2 = dot(pix, c2_ref[...])
     iz = dot(pix, cz_ref[...])
-
-    inside = (
-        (b0 >= 0.0)
-        & (b1 >= 0.0)
-        & (b2 >= 0.0)
-        & (iz > 0.0)
-        & (vmask_ref[...] > 0)
-    )
-    izq = jnp.clip(iz * IZ_SCALE, 0.0, IZ_MAX).astype(jnp.int32)
-    fid = j * FBLOCK + jax.lax.broadcasted_iota(jnp.int32, izq.shape, 1)
-    key = jnp.where(inside, izq * (2**FID_BITS) + fid, -1)
-    best = jnp.max(key, axis=1, keepdims=True)  # (PBLOCK, 1)
-    out_ref[...] = jnp.maximum(out_ref[...], best)
+    _select_update(b0, b1, b2, iz, vmask_ref[...], j * FBLOCK, iz_ref, fid_ref)
 
 
 def analytic_flops(n_pix: int, n_faces: int) -> float:
@@ -126,7 +127,6 @@ def zbuffer_select(
     render/raster.py `rasterize`.
     """
     P, F = pix.shape[0], coef.shape[0]
-    assert F <= 2**FID_BITS, f"too many faces for the packed key: {F}"
     p_pad = _round_up(P, PBLOCK) - P
     f_pad = _round_up(F, FBLOCK) - F
     if p_pad:
@@ -153,78 +153,44 @@ def zbuffer_select(
             pl.BlockSpec((1, FBLOCK), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((PBLOCK, 3), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (PBLOCK, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        out_specs=(
+            pl.BlockSpec(
+                (PBLOCK, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (PBLOCK, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
         ),
-        out_shape=jax.ShapeDtypeStruct((Pp, 1), jnp.int32),
+        out_shape=(
+            jax.ShapeDtypeStruct((Pp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Pp, 1), jnp.int32),
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
-            # the (PBLOCK, FBLOCK) key tile exceeds the 25M default limit
+            # the (PBLOCK, FBLOCK) edge/depth tile exceeds the 25M default
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(c0, c1, c2, cz, vmask, pix)
 
-    key = out[:P, 0]
-    best_face = jnp.where(key >= 0, key % (2**FID_BITS), -1)
-    return best_face
+    return out[1][:P, 0]
 
 
-def _zbuffer_kernel_tiled(n_fb, tab_ref, c0_ref, c1_ref, c2_ref, cz_ref,
-                          vmask_ref, pix_ref, out_ref):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _init():
-        out_ref[...] = jnp.full_like(out_ref, -1)
-
-    @pl.when(tab_ref[i * n_fb + j] > 0)
-    def _work():
-        pix = pix_ref[...]  # (TBLOCK, 3) f32, a compact TILE_H x TILE_W tile
-        dot = functools.partial(
-            jax.lax.dot_general,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        b0 = dot(pix, c0_ref[...])
-        b1 = dot(pix, c1_ref[...])
-        b2 = dot(pix, c2_ref[...])
-        iz = dot(pix, cz_ref[...])
-        inside = (
-            (b0 >= 0.0)
-            & (b1 >= 0.0)
-            & (b2 >= 0.0)
-            & (iz > 0.0)
-            & (vmask_ref[...] > 0)
-        )
-        izq = jnp.clip(iz * IZ_SCALE, 0.0, IZ_MAX).astype(jnp.int32)
-        fid = j * FBLOCK_T + jax.lax.broadcasted_iota(jnp.int32, izq.shape, 1)
-        key = jnp.where(inside, izq * (2**FID_BITS) + fid, -1)
-        best = jnp.max(key, axis=1, keepdims=True)
-        out_ref[...] = jnp.maximum(out_ref[...], best)
-
-
-def zbuffer_select_tiled(
-    coef: jnp.ndarray,  # (F, 3, 4) face coefficients
-    valid: jnp.ndarray,  # (F,) bool
+def overlap_table(
+    valid: jnp.ndarray,  # (F,) bool (may be unpadded)
     face_sx: jnp.ndarray,  # (F, 3) screen x of each face's vertices
     face_sy: jnp.ndarray,  # (F, 3) screen y
     H: int,
     W: int,
-    interpret: bool = False,
 ):
-    """Winner selection with 2-D tile / face-block bbox culling.
-
-    Produces EXACTLY the winners of `zbuffer_select` on the row-major pixel
-    lattice of an (H, W) image (same packed key, same tie-break); only the
-    empty (tile, face-block) pairs are skipped. Returns best_face (H*W,)
-    int32 with -1 = background."""
-    F = coef.shape[0]
-    assert F <= 2**FID_BITS, f"too many faces for the packed key: {F}"
+    """The tiled kernel's culling table: tab[i * n_fb + j] > 0 iff screen
+    tile i and face block j overlap (1 px float margin) and the (tile,
+    face-block) grid step executes. Returns (tab (n_tiles * n_fb,) int32,
+    n_tiles, n_fb). Shared by ``zbuffer_select_tiled`` and the exact FLOP
+    accounting in bench.py (``analytic_flops_tiled``)."""
+    F = face_sx.shape[0]
     f_pad = _round_up(F, FBLOCK_T) - F
     if f_pad:
-        coef = jnp.concatenate([coef, jnp.zeros((f_pad, 3, 4), coef.dtype)], 0)
         valid = jnp.concatenate([valid, jnp.zeros((f_pad,), bool)], 0)
         face_sx = jnp.concatenate(
             [face_sx, jnp.zeros((f_pad, 3), face_sx.dtype)], 0
@@ -232,27 +198,11 @@ def zbuffer_select_tiled(
         face_sy = jnp.concatenate(
             [face_sy, jnp.zeros((f_pad, 3), face_sy.dtype)], 0
         )
-    Fp = coef.shape[0]
-    n_fb = Fp // FBLOCK_T
+    n_fb = face_sx.shape[0] // FBLOCK_T
 
     Hp, Wp = _round_up(H, TILE_H), _round_up(W, TILE_W)
     n_ty, n_tx = Hp // TILE_H, Wp // TILE_W
     n_tiles = n_ty * n_tx
-
-    # tile-permuted pixel matrix: block i is the compact 2-D tile
-    # (ty, tx) = (i // n_tx, i % n_tx). Padded pixels (px >= W or py >= H)
-    # are harmless: their winners are cropped away below.
-    py, px = jnp.meshgrid(
-        jnp.arange(Hp, dtype=jnp.float32), jnp.arange(Wp, dtype=jnp.float32),
-        indexing="ij",
-    )
-    ones = jnp.ones((Hp, Wp), jnp.float32)
-    pix = (
-        jnp.stack([px, py, ones], axis=-1)
-        .reshape(n_ty, TILE_H, n_tx, TILE_W, 3)
-        .transpose(0, 2, 1, 3, 4)
-        .reshape(n_tiles * TBLOCK, 3)
-    )
 
     # face bboxes (invalid faces -> empty), block-reduced, vs tile bounds
     big = jnp.float32(1e9)
@@ -276,6 +226,90 @@ def zbuffer_select_tiled(
         & (bminy[None, :] <= ty1[:, None])
         & (bmaxy[None, :] >= ty0[:, None])
     ).astype(jnp.int32).reshape(-1)  # (n_tiles * n_fb,)
+    return tab, n_tiles, n_fb
+
+
+def analytic_flops_tiled(kept_pairs: int) -> float:
+    """Matmul FLOPs the tiled kernel actually issues for one call whose
+    culling table keeps ``kept_pairs`` (tile, face-block) pairs: four
+    (TBLOCK,3)x(3,FBLOCK_T) dots per executed pair. Forward-only (the GT
+    render is detached), so model == hardware FLOPs."""
+    return 24.0 * TBLOCK * FBLOCK_T * float(kept_pairs)
+
+
+def _zbuffer_kernel_tiled(n_fb, tab_ref, c0_ref, c1_ref, c2_ref, cz_ref,
+                          vmask_ref, pix_ref, iz_ref, fid_ref):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        iz_ref[...] = jnp.full_like(iz_ref, -1.0)
+        fid_ref[...] = jnp.full_like(fid_ref, -1)
+
+    @pl.when(tab_ref[i * n_fb + j] > 0)
+    def _work():
+        pix = pix_ref[...]  # (TBLOCK, 3) f32, a compact TILE_H x TILE_W tile
+        dot = functools.partial(
+            jax.lax.dot_general,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        b0 = dot(pix, c0_ref[...])
+        b1 = dot(pix, c1_ref[...])
+        b2 = dot(pix, c2_ref[...])
+        iz = dot(pix, cz_ref[...])
+        _select_update(
+            b0, b1, b2, iz, vmask_ref[...], j * FBLOCK_T, iz_ref, fid_ref
+        )
+
+
+def zbuffer_select_tiled(
+    coef: jnp.ndarray,  # (F, 3, 4) face coefficients
+    valid: jnp.ndarray,  # (F,) bool
+    face_sx: jnp.ndarray,  # (F, 3) screen x of each face's vertices
+    face_sy: jnp.ndarray,  # (F, 3) screen y
+    H: int,
+    W: int,
+    interpret: bool = False,
+):
+    """Winner selection with 2-D tile / face-block bbox culling.
+
+    Produces EXACTLY the winners of `zbuffer_select` on the row-major pixel
+    lattice of an (H, W) image (same exact-f32 ordering, same tie-break);
+    only the empty (tile, face-block) pairs are skipped. Returns best_face
+    (H*W,) int32 with -1 = background."""
+    F = coef.shape[0]
+    f_pad = _round_up(F, FBLOCK_T) - F
+    if f_pad:
+        coef = jnp.concatenate([coef, jnp.zeros((f_pad, 3, 4), coef.dtype)], 0)
+        valid = jnp.concatenate([valid, jnp.zeros((f_pad,), bool)], 0)
+        face_sx = jnp.concatenate(
+            [face_sx, jnp.zeros((f_pad, 3), face_sx.dtype)], 0
+        )
+        face_sy = jnp.concatenate(
+            [face_sy, jnp.zeros((f_pad, 3), face_sy.dtype)], 0
+        )
+    Fp = coef.shape[0]
+
+    tab, n_tiles, n_fb = overlap_table(valid, face_sx, face_sy, H, W)
+    Hp, Wp = _round_up(H, TILE_H), _round_up(W, TILE_W)
+    n_ty, n_tx = Hp // TILE_H, Wp // TILE_W
+
+    # tile-permuted pixel matrix: block i is the compact 2-D tile
+    # (ty, tx) = (i // n_tx, i % n_tx). Padded pixels (px >= W or py >= H)
+    # are harmless: their winners are cropped away below.
+    py, px = jnp.meshgrid(
+        jnp.arange(Hp, dtype=jnp.float32), jnp.arange(Wp, dtype=jnp.float32),
+        indexing="ij",
+    )
+    ones = jnp.ones((Hp, Wp), jnp.float32)
+    pix = (
+        jnp.stack([px, py, ones], axis=-1)
+        .reshape(n_ty, TILE_H, n_tx, TILE_W, 3)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(n_tiles * TBLOCK, 3)
+    )
 
     ct = coef.transpose(1, 0, 2)  # (3, F, 4)
     c0, c1, c2, cz = (ct[..., k].astype(jnp.float32) for k in range(4))
@@ -298,13 +332,20 @@ def zbuffer_select_tiled(
             pl.BlockSpec((TBLOCK, 3), lambda i, j, t: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TBLOCK, 1), lambda i, j, t: (i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=(
+            pl.BlockSpec((TBLOCK, 1), lambda i, j, t: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TBLOCK, 1), lambda i, j, t: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
     )
     out = pl.pallas_call(
         functools.partial(_zbuffer_kernel_tiled, n_fb),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles * TBLOCK, 1), jnp.int32),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles * TBLOCK, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles * TBLOCK, 1), jnp.int32),
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=64 * 1024 * 1024,
@@ -313,10 +354,10 @@ def zbuffer_select_tiled(
     )(tab, c0, c1, c2, cz, vmask, pix)
 
     # un-permute tiles -> row-major image, crop padding
-    key = (
-        out.reshape(n_ty, n_tx, TILE_H, TILE_W)
+    return (
+        out[1]
+        .reshape(n_ty, n_tx, TILE_H, TILE_W)
         .transpose(0, 2, 1, 3)
         .reshape(Hp, Wp)[:H, :W]
         .reshape(-1)
     )
-    return jnp.where(key >= 0, key % (2**FID_BITS), -1)

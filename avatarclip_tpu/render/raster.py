@@ -154,9 +154,11 @@ def rasterize(
 
     On TPU the winner selection runs through the fused Pallas z-buffer
     kernel (ops/raster_zbuffer.py) — the (P, F) edge/depth tile never leaves
-    VMEM; elsewhere (CPU tests, interpret) the chunked-scan XLA path below
-    is used. Both produce the same winners up to inverse-depth quantization
-    ties; barycentrics/depth of the winner are recomputed exactly either way.
+    VMEM and the winner is ordered by exact f32 inverse depth; elsewhere
+    (CPU tests, interpret) the chunked-scan XLA path below is used, whose
+    bf16 tile storage + packed-key quantization can differ on near-tied
+    faces. Barycentrics/depth of the winner are recomputed exactly either
+    way.
     """
     proj = Projected(proj_sx, proj_sy, proj_inv_z, proj_front)
     coef, cvalid, _ = _face_coefficients(proj, faces)
@@ -168,11 +170,7 @@ def rasterize(
     P = pix.shape[0]
 
     if use_kernel is None:
-        from ..ops import raster_zbuffer
-
-        use_kernel = (
-            jax.default_backend() == "tpu" and F <= 2**raster_zbuffer.FID_BITS
-        )
+        use_kernel = jax.default_backend() == "tpu"
     if use_kernel:
         from ..ops import raster_zbuffer
 
@@ -225,6 +223,35 @@ def rasterize(
         best_packed >= 0, best_chunk * chunk + (best_packed & 0x7FF), -1
     )
     return _winner_outputs(pix, coef, best_face)
+
+
+def tiled_pair_counts(
+    vertices: jnp.ndarray,
+    faces: jnp.ndarray,
+    pose: jnp.ndarray,
+    H: int,
+    W: int,
+    focal: float,
+    chunk: int = 2048,
+):
+    """(kept, total) (tile, face-block) pair counts of the tiled z-buffer
+    kernel's culling table for one camera, with exactly render_mesh's face
+    padding — so bench.py can account the raster kernel's FLOPs at the pair
+    count the chip actually executes instead of the brute-force bound."""
+    from ..ops import raster_zbuffer
+
+    faces = jnp.asarray(faces, jnp.int32)
+    F = faces.shape[0]
+    pad = (-F) % chunk
+    if pad:
+        faces = jnp.concatenate([faces, jnp.zeros((pad, 3), jnp.int32)], 0)
+    valid_faces = jnp.arange(faces.shape[0]) < F
+    proj = project_vertices(vertices, pose, H, W, focal)
+    _, cvalid, _ = _face_coefficients(proj, faces)
+    tab, n_tiles, n_fb = raster_zbuffer.overlap_table(
+        valid_faces & cvalid, proj.sx[faces], proj.sy[faces], H, W
+    )
+    return int(jnp.sum(tab)), n_tiles * n_fb
 
 
 def _winner_outputs(pix, coef, best_face):

@@ -366,12 +366,12 @@ def test_zbuffer_kernel_matches_scan_path():
 
 
 def test_zbuffer_kernel_close_camera_ordering():
-    """Regression (ADVICE r2): the kernel's quantized inv-depth key used to
-    saturate at inv_z = 4 (depth 0.25) while the XLA path represents up to
-    inv_z = 16 — a face camera at distance ~0.2 put ALL geometry in the
-    saturated band and the winner degenerated to highest-face-id. With
-    IZ_SCALE = 2^13 both paths share the saturation point; at depths in
-    (1/16, 1/4) the kernel must still order faces by depth."""
+    """Regression (ADVICE r2): the kernel's packed inv-depth key used to
+    saturate at inv_z = 4 (depth 0.25) — a face camera at distance ~0.2 put
+    ALL geometry in the saturated band and the winner degenerated to
+    highest-face-id. The kernel now orders by EXACT f32 inverse depth (no
+    quantization, no saturation); at depths in (1/16, 1/4) it must agree
+    with the XLA path's ordering."""
     import math
 
     from avatarclip_tpu.ops import raster_zbuffer
