@@ -867,6 +867,26 @@ class Runner:
         )
         return min(buckets, key=lambda b: abs(np.log(b / s_star)))
 
+    def sample_iteration_camera(self, it: int, buckets=None):
+        """Host-side camera sample + silhouette-bucket choice for iteration
+        ``it`` — THE deterministic stream of the train_clip loop (seeded
+        np.random.default_rng([seed, it]), face cam every 4th iter). bench.py
+        replays the same schedule through this method so its per-bucket FLOP
+        weighting can never drift from what the loop actually dispatches."""
+        tc = self.tc
+        if buckets is None:
+            buckets = tuple(sorted(tc.sil_buckets)) or (tc.sil_res,)
+        face_iter = bool(tc.use_face_prompt) and (it % 4 == 0)
+        rng = np.random.default_rng([self._camera_seed, it])
+        cam = cameras.sample_training_camera(rng, face_iter, tc.head_height)
+        if len(buckets) > 1:
+            if not hasattr(self, "_sil_cov_table"):
+                self._calibrate_sil_coverage()
+            S = self._pick_sil_bucket(buckets, cam)
+        else:
+            S = buckets[0]
+        return cam, S
+
     def _make_clip_step(self):
         """Returns step(params, opt_state, key, it): samples the camera on
         the host, picks the silhouette-resolution bucket (when
@@ -884,18 +904,10 @@ class Runner:
         variants: dict[int, Any] = {}
         if len(buckets) == 1:  # eager: single-variant path compiles up front
             variants[buckets[0]] = self._make_clip_step_at(buckets[0])
-        seed = self._camera_seed
 
         def bound(params, opt_state, key, it):
             it = int(it)
-            face_iter = bool(tc.use_face_prompt) and (it % 4 == 0)
-            rng = np.random.default_rng([seed, it])
-            cam = cameras.sample_training_camera(rng, face_iter, tc.head_height)
-            S = (
-                self._pick_sil_bucket(buckets, cam)
-                if len(buckets) > 1
-                else buckets[0]
-            )
+            cam, S = self.sample_iteration_camera(it, buckets)
             if S not in variants:
                 variants[S] = self._make_clip_step_at(S)
             self._last_sil_res = S  # observability + tests

@@ -86,7 +86,6 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from avatarclip_tpu.pipelines import synthetic
-    from avatarclip_tpu.render import cameras
 
     warm_extra = 2
     iters = 30
@@ -105,19 +104,12 @@ def main():
             R = tc.max_ray_num
             buckets = tuple(sorted(tc.sil_buckets)) or (tc.sil_res,)
 
-            # deterministic bucket schedule for the timed window (the camera
-            # stream is host-side np.random.default_rng([seed, it]))
-            def bucket_for(it):
-                if len(buckets) == 1:
-                    return buckets[0]
-                face = bool(tc.use_face_prompt) and (it % 4 == 0)
-                rng = np.random.default_rng([runner._camera_seed, it])
-                cam = cameras.sample_training_camera(
-                    rng, face, tc.head_height
-                )
-                return runner._pick_sil_bucket(buckets, cam)
-
-            schedule = [bucket_for(it) for it in range(iters)]
+            # deterministic camera/bucket schedule for the timed window —
+            # THE runner's own stream (Runner.sample_iteration_camera), so
+            # the per-bucket FLOP weighting cannot drift from what the loop
+            # actually dispatches
+            cams = [runner.sample_iteration_camera(it) for it in range(iters)]
+            schedule = [S for _, S in cams]
             distinct = sorted(set(schedule))
             print(f"bucket schedule ({iters} iters): "
                   f"{ {b: schedule.count(b) for b in distinct} }")
@@ -175,8 +167,10 @@ def main():
                     if kernels_on
                     else None
                 )
-                n_faces = int(np.asarray(runner._template[1]).shape[0])
-                GT = tc.gt_render_res or max(buckets)
+                from avatarclip_tpu.render import raster
+
+                template_v, template_f = runner._template[:2]
+                sensor = runner.dataset.W
 
                 def per_iter_flops(S):
                     comp = runner._clip_step_variants[S].lower(
@@ -209,18 +203,27 @@ def main():
                         model += Rp * (cf + cb)
                         uvf, uvb = fused_neus.composite_flops_per_point(spec)
                         hw += P * (uvf + uvb)
-                    if on_tpu:
-                        rz = raster_zbuffer.analytic_flops(GT * GT, n_faces)
-                        hw += rz
-                        model += rz
                     return model, hw
 
                 cache_f = {}
                 tot_model = tot_hw = 0.0
-                for S in schedule:
+                for it, (cam, S) in enumerate(cams):
                     if S not in cache_f:
                         cache_f[S] = per_iter_flops(S)
                     m, h = cache_f[S]
+                    if on_tpu:
+                        # the GT raster runs the tile-culled kernel: count
+                        # the pairs its culling table keeps for THIS
+                        # iteration's camera, not the brute-force bound
+                        # (most pairs never execute — ADVICE r3)
+                        GT = tc.gt_render_res or S
+                        kept, _ = raster.tiled_pair_counts(
+                            template_v, template_f, cam["pose"], GT, GT,
+                            runner.dataset.focal * GT / sensor,
+                        )
+                        rz = raster_zbuffer.analytic_flops_tiled(kept)
+                        m += rz
+                        h += rz
                     tot_model += m
                     tot_hw += h
             mfu_model = round(100.0 * tot_model / dt / V5E_BF16_PEAK, 2)
