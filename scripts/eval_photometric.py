@@ -36,9 +36,16 @@ def evaluate(runner, views, res_level):
         )
         img = out["color_fine"].reshape(H, W, 3)
         ws = out["weight_sum"].reshape(H, W)
-        l = max(1, int(res_level))
-        gt = np.asarray(runner.dataset.images[idx])[::l, ::l][:H, :W]
-        gt_mask = np.asarray(runner.dataset.masks[idx])[::l, ::l][:H, :W] > 0.5
+        # sample GT on the SAME lattice the rays use (pixel_grid_rays:
+        # linspace over the full sensor) — a [::l] stride is a different
+        # lattice (and a top-left crop for fractional levels), which would
+        # compare the render against the wrong pixels
+        gt_full = np.asarray(runner.dataset.images[idx])
+        mask_full = np.asarray(runner.dataset.masks[idx])
+        iy = np.round(np.linspace(0.0, gt_full.shape[0] - 1.0, H)).astype(int)
+        ix = np.round(np.linspace(0.0, gt_full.shape[1] - 1.0, W)).astype(int)
+        gt = gt_full[np.ix_(iy, ix)]
+        gt_mask = mask_full[np.ix_(iy, ix)] > 0.5
         mse = float(np.mean((img - gt) ** 2))
         psnr = -10.0 * np.log10(mse) if mse > 0 else np.inf
         pred_mask = ws > 0.5

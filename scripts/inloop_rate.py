@@ -74,8 +74,15 @@ def main():
 
                 def sync_post(metrics):
                     orig_post(metrics)
-                    runner._flush_metrics()
-                    _ = {k: float(v) for k, v in metrics.items()}
+                    # pre-round-3 cadence: the logger fetched each metric
+                    # with its own float() on the 10-iter log schedule
+                    # (_post_iter's buffer condition), NOT every iteration —
+                    # fetching every iter would overstate the async win
+                    it = runner.iter_step
+                    if it % 10 == 0 or it < 10:
+                        runner._flush_metrics()
+                        for v in metrics.values():
+                            float(v)
 
                 runner._post_iter = sync_post
 
