@@ -166,5 +166,11 @@ def test_bucket_dispatch_end_to_end(runner):
         step2 = runner._make_clip_step()
         step2(runner.params, runner.opt_state, jax.random.PRNGKey(0), 2)
         assert runner._last_sil_res == seen[2]
+        # bench.py replays the schedule through sample_iteration_camera:
+        # it must predict exactly what the loop dispatched (shared-stream
+        # contract, round-3 review)
+        for it in range(4):
+            _, S = runner.sample_iteration_camera(it)
+            assert S == seen[it], (it, S, seen[it])
     finally:
         runner.tc = tc
