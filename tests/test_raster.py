@@ -417,6 +417,48 @@ def test_zbuffer_kernel_close_camera_ordering():
     assert agree > 0.97, f"close-camera winner agreement {agree}"
 
 
+def test_zbuffer_kernel_matches_numpy_exact_oracle():
+    """The pair-carry kernel orders winners by EXACT f32 inverse depth with
+    ties to the higher face id — assert it against a brute-force numpy
+    reconstruction of that rule (pixel x face loop in f64 on the f32 dot
+    results), not just against the (quantized, bf16) XLA scan path."""
+    from avatarclip_tpu.ops import raster_zbuffer
+
+    rng = np.random.default_rng(11)
+    V, F = 120, 300
+    verts = jnp.asarray(rng.normal(0.0, 0.4, (V, 3)).astype(np.float32))
+    fj = jnp.asarray(rng.integers(0, V, (F, 3)).astype(np.int32))
+    pose = cameras.lookat(
+        jnp.array([0.05, -0.1, 1.2]), jnp.zeros(3), jnp.array([0.0, 1.0, 0.0])
+    )
+    H = W = 40
+    proj = raster.project_vertices(verts, pose, H, W, 45.0)
+    coef, cvalid, _ = raster._face_coefficients(proj, fj)
+    pix = raster._pixel_matrix(H, W)
+
+    bf_k = raster_zbuffer.zbuffer_select(pix, coef, cvalid, interpret=True)
+    bf_t = raster_zbuffer.zbuffer_select_tiled(
+        coef, cvalid, proj.sx[fj], proj.sy[fj], H, W, interpret=True
+    )
+
+    # numpy oracle: winner = argmax over inside faces of (f32 iz, face id)
+    px = np.asarray(pix, np.float32)  # (P, 3)
+    cf = np.asarray(coef, np.float32)  # (F, 3, 4)
+    vals = np.einsum("pc,fcb->pfb", px, cf).astype(np.float32)  # (P, F, 4)
+    b = vals[..., :3]
+    iz = vals[..., 3]
+    inside = (b >= 0).all(-1) & (iz > 0) & np.asarray(cvalid)[None, :]
+    iz_in = np.where(inside, iz, -1.0)
+    best_iz = iz_in.max(axis=1)
+    fid = np.arange(F)[None, :]
+    cand = np.where((iz_in == best_iz[:, None]) & inside, fid, -1)
+    want = np.where(best_iz > 0, cand.max(axis=1), -1)
+
+    assert (want >= 0).sum() > 80
+    np.testing.assert_array_equal(np.asarray(bf_k), want)
+    np.testing.assert_array_equal(np.asarray(bf_t), want)
+
+
 def test_zbuffer_tiled_matches_brute_exactly():
     """The tile-binned winner kernel (zbuffer_select_tiled) must produce
     EXACTLY the brute-force kernel's winners — the bbox culling is
