@@ -208,12 +208,28 @@ def _extract_fields_tiled(
         )
         for ax, axv in ((0, xs), (1, ys), (2, zs))
     )
-    # center-vs-corner slopes over the half-diagonal distance
-    d_cc = 0.5 * tile * np.sqrt(hx * hx + hy * hy + hz * hz)
-    if d_cc > 0:
+    # center-vs-corner slopes over the EXACT per-pair distances (the closing
+    # corner of the last tile per axis is clamped to resolution-1, so its
+    # center distance is shorter than the interior half-diagonal — dividing
+    # by the interior value there would underestimate the observed slope and
+    # quietly weaken the 1.5x safety valve for boundary tiles)
+    if resolution > 1:
+        def _axis_d(axv):
+            cv, mv = axv[ci], axv[mi]  # (nt+1,), (nt,)
+            return np.stack([np.abs(mv - cv[:-1]), np.abs(cv[1:] - mv)], -1)
+
+        dx, dy, dz = _axis_d(xs), _axis_d(ys), _axis_d(zs)  # (nt, 2) each
+        d_cc = np.sqrt(
+            (dx ** 2)[:, None, None, :, None, None]
+            + (dy ** 2)[None, :, None, None, :, None]
+            + (dz ** 2)[None, None, :, None, None, :]
+        )  # (nt, nt, nt, 2, 2, 2) corner-center distances
         l_obs = max(
             l_obs,
-            float(np.abs(w - mu[..., None, None, None]).max()) / d_cc,
+            float(
+                (np.abs(w - mu[..., None, None, None])
+                 / np.maximum(d_cc, 1e-12)).max()
+            ),
         )
     bound = max(lipschitz_bound, 1.5 * l_obs)
 

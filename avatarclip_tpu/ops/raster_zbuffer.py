@@ -107,9 +107,11 @@ def _zbuffer_kernel(c0_ref, c1_ref, c2_ref, cz_ref, vmask_ref, pix_ref,
 
 
 def analytic_flops(n_pix: int, n_faces: int) -> float:
-    """Matmul FLOPs of one zbuffer_select call at PADDED shapes (four
-    (P,3)x(3,F) dots = 4 * 2 * 3 * P * F), for bench.py's MFU ledger —
-    forward-only, no gradient, so model == hardware FLOPs here."""
+    """Matmul FLOPs of one BRUTE-FORCE zbuffer_select call at padded shapes
+    (four (P,3)x(3,F) dots = 4 * 2 * 3 * P * F). bench.py's MFU ledger uses
+    ``analytic_flops_tiled`` (the production path is the tile-culled
+    kernel); this bound remains as the formula self-check oracle in
+    tests/test_fused_neus.py."""
     P = _round_up(n_pix, PBLOCK)
     F = _round_up(n_faces, FBLOCK)
     return 24.0 * P * F
@@ -279,20 +281,14 @@ def zbuffer_select_tiled(
     lattice of an (H, W) image (same exact-f32 ordering, same tie-break);
     only the empty (tile, face-block) pairs are skipped. Returns best_face
     (H*W,) int32 with -1 = background."""
+    # overlap_table pads its own face inputs; pad only the kernel operands
+    tab, n_tiles, n_fb = overlap_table(valid, face_sx, face_sy, H, W)
     F = coef.shape[0]
     f_pad = _round_up(F, FBLOCK_T) - F
     if f_pad:
         coef = jnp.concatenate([coef, jnp.zeros((f_pad, 3, 4), coef.dtype)], 0)
         valid = jnp.concatenate([valid, jnp.zeros((f_pad,), bool)], 0)
-        face_sx = jnp.concatenate(
-            [face_sx, jnp.zeros((f_pad, 3), face_sx.dtype)], 0
-        )
-        face_sy = jnp.concatenate(
-            [face_sy, jnp.zeros((f_pad, 3), face_sy.dtype)], 0
-        )
     Fp = coef.shape[0]
-
-    tab, n_tiles, n_fb = overlap_table(valid, face_sx, face_sy, H, W)
     Hp, Wp = _round_up(H, TILE_H), _round_up(W, TILE_W)
     n_ty, n_tx = Hp // TILE_H, Wp // TILE_W
 

@@ -228,16 +228,21 @@ def rasterize(
 def tiled_pair_counts(
     vertices: jnp.ndarray,
     faces: jnp.ndarray,
-    pose: jnp.ndarray,
+    poses: jnp.ndarray,  # (4, 4) or (N, 4, 4)
     H: int,
     W: int,
     focal: float,
     chunk: int = 2048,
 ):
     """(kept, total) (tile, face-block) pair counts of the tiled z-buffer
-    kernel's culling table for one camera, with exactly render_mesh's face
-    padding — so bench.py can account the raster kernel's FLOPs at the pair
-    count the chip actually executes instead of the brute-force bound."""
+    kernel's culling table, with exactly render_mesh's face padding — so
+    bench.py can account the raster kernel's FLOPs at the pair count the
+    chip actually executes instead of the brute-force bound.
+
+    ``poses`` may be a single (4, 4) camera (returns (int, int)) or a batch
+    (N, 4, 4) (returns (list[int], int)): the whole batch is evaluated in
+    ONE jitted call with a single host fetch — never sync per camera in a
+    loop (CLAUDE.md: ~68 ms per round trip on the remote chip)."""
     from ..ops import raster_zbuffer
 
     faces = jnp.asarray(faces, jnp.int32)
@@ -246,12 +251,27 @@ def tiled_pair_counts(
     if pad:
         faces = jnp.concatenate([faces, jnp.zeros((pad, 3), jnp.int32)], 0)
     valid_faces = jnp.arange(faces.shape[0]) < F
-    proj = project_vertices(vertices, pose, H, W, focal)
-    _, cvalid, _ = _face_coefficients(proj, faces)
-    tab, n_tiles, n_fb = raster_zbuffer.overlap_table(
-        valid_faces & cvalid, proj.sx[faces], proj.sy[faces], H, W
-    )
-    return int(jnp.sum(tab)), n_tiles * n_fb
+    poses = jnp.asarray(poses)
+    single = poses.ndim == 2
+    if single:
+        poses = poses[None]
+
+    def kept_one(pose):
+        proj = project_vertices(vertices, pose, H, W, focal)
+        _, cvalid, _ = _face_coefficients(proj, faces)
+        tab, _, _ = raster_zbuffer.overlap_table(
+            valid_faces & cvalid, proj.sx[faces], proj.sy[faces], H, W
+        )
+        return jnp.sum(tab)
+
+    kept = np.asarray(jax.jit(jax.vmap(kept_one))(poses))  # one fetch
+    n_ty = -(-H // raster_zbuffer.TILE_H)
+    n_tx = -(-W // raster_zbuffer.TILE_W)
+    n_fb = -(-faces.shape[0] // raster_zbuffer.FBLOCK_T)
+    total = n_ty * n_tx * n_fb
+    if single:
+        return int(kept[0]), total
+    return [int(k) for k in kept], total
 
 
 def _winner_outputs(pix, coef, best_face):

@@ -205,23 +205,39 @@ def main():
                         hw += P * (uvf + uvb)
                     return model, hw
 
+                # the GT raster runs the tile-culled kernel: count the
+                # pairs its culling table keeps for EACH iteration's camera,
+                # not the brute-force bound (most pairs never execute).
+                # Poses are grouped by GT resolution and each group counted
+                # in ONE jitted call — never one host sync per iteration
+                # (CLAUDE.md round-trip rule)
+                rz_flops: dict[int, list] = {}
+                if on_tpu:
+                    groups: dict[int, list] = {}
+                    for cam, S in cams:
+                        GT = tc.gt_render_res or S
+                        groups.setdefault(GT, []).append(
+                            np.asarray(cam["pose"])
+                        )
+                    for GT, poses in groups.items():
+                        kept, _ = raster.tiled_pair_counts(
+                            template_v, template_f, np.stack(poses), GT, GT,
+                            runner.dataset.focal * GT / sensor,
+                        )
+                        rz_flops[GT] = [
+                            raster_zbuffer.analytic_flops_tiled(k)
+                            for k in kept
+                        ]
+
                 cache_f = {}
                 tot_model = tot_hw = 0.0
-                for it, (cam, S) in enumerate(cams):
+                for cam, S in cams:
                     if S not in cache_f:
                         cache_f[S] = per_iter_flops(S)
                     m, h = cache_f[S]
                     if on_tpu:
-                        # the GT raster runs the tile-culled kernel: count
-                        # the pairs its culling table keeps for THIS
-                        # iteration's camera, not the brute-force bound
-                        # (most pairs never execute — ADVICE r3)
-                        GT = tc.gt_render_res or S
-                        kept, _ = raster.tiled_pair_counts(
-                            template_v, template_f, cam["pose"], GT, GT,
-                            runner.dataset.focal * GT / sensor,
-                        )
-                        rz = raster_zbuffer.analytic_flops_tiled(kept)
+                        # same order as the grouping pass above
+                        rz = rz_flops[tc.gt_render_res or S].pop(0)
                         m += rz
                         h += rz
                     tot_model += m

@@ -80,7 +80,9 @@ def main():
                     # fetching every iter would overstate the async win
                     it = runner.iter_step
                     if it % 10 == 0 or it < 10:
-                        runner._flush_metrics()
+                        # per-metric float() only — the historical path had
+                        # no stacked _flush_metrics transfer, adding one here
+                        # would depress the sync baseline
                         for v in metrics.values():
                             float(v)
 
