@@ -426,6 +426,11 @@ class Runner:
         # body frame -> NeuS world frame (models/utils.py:114-118)
         v_world = verts[0] @ jnp.asarray(cameras.BODY_TO_WORLD).T
         self._template = (v_world, np.asarray(model.faces, np.int32))
+        # step-invariant smooth normals of the fixed template (paid once,
+        # not per jitted GT render — the 3-way scatter repeats identically)
+        self._template_normals = raster.vertex_normals(
+            v_world, jnp.asarray(self._template[1])
+        )
 
     # -- training steps ---------------------------------------------------
 
@@ -526,6 +531,7 @@ class Runner:
             "clip": _clip_params,
             "texts": self._encoded_texts,
             "template_v": template_v_host,
+            "template_n": self._template_normals,
         }
         template_f = jnp.asarray(template_f)
 
@@ -553,7 +559,8 @@ class Runner:
 
             # GT template render, detached (main.py:360)
             gt = raster.render_mesh(
-                template_v, template_f, pose, GT, GT, focal_gt, chunk=2048
+                template_v, template_f, pose, GT, GT, focal_gt, chunk=2048,
+                normals=const["template_n"],
             )
             if GT == S:
                 gt_rgb = jax.lax.stop_gradient(gt["rgb"])
@@ -805,7 +812,8 @@ class Runner:
         @jax.jit
         def coverage(pose):
             out = raster.render_mesh(
-                template_v, template_f, pose, Sc, Sc, focal_c, chunk=2048
+                template_v, template_f, pose, Sc, Sc, focal_c, chunk=2048,
+                normals=getattr(self, "_template_normals", None),
             )
             mask = out["rgb"].sum(-1) > 1e-6
             return cameras.dilate_mask(mask, dil_c).mean()

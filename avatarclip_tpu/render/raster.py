@@ -334,6 +334,7 @@ def render_mesh(
     chunk: int = 1024,
     face_uvs: jnp.ndarray | None = None,  # (F, 3, 2) per-corner uv in [0,1]
     texture: jnp.ndarray | None = None,  # (Ht, Wt, 3) sampled bilinearly
+    normals: jnp.ndarray | None = None,  # (V, 3) precomputed vertex_normals
 ):
     """Shaded hard rasterization -> dict(rgb (H,W,3), mask (H,W), depth (H,W)).
 
@@ -356,7 +357,10 @@ def render_mesh(
     hit = face_id >= 0
     fid = jnp.where(hit, face_id, 0)
 
-    normals = vertex_normals(vertices, faces)
+    if normals is None:
+        # static meshes rendered every step (the GT template) should pass
+        # precomputed normals: the 3-way scatter repeats identically per call
+        normals = vertex_normals(vertices, faces)
     tri = faces[fid]  # (P, 3)
     n_pix = jnp.einsum("pb,pbc->pc", bary, normals[tri])
     n_pix = n_pix / jnp.maximum(

@@ -417,6 +417,25 @@ def test_zbuffer_kernel_close_camera_ordering():
     assert agree > 0.97, f"close-camera winner agreement {agree}"
 
 
+def test_render_mesh_precomputed_normals_bit_identical():
+    """render_mesh(normals=vertex_normals(v, f)) must be bit-identical to
+    the internally-computed path — the train step hoists the template's
+    step-invariant normals out of the jitted GT render."""
+    rng = np.random.default_rng(3)
+    V, F = 500, 1200
+    verts = jnp.asarray(rng.normal(0, 0.4, (V, 3)).astype(np.float32))
+    fj = jnp.asarray(rng.integers(0, V, (F, 3)).astype(np.int32))
+    pose = cameras.lookat(
+        jnp.array([0.0, 0.0, 1.8]), jnp.zeros(3), jnp.array([0.0, 1.0, 0.0])
+    )
+    a = raster.render_mesh(verts, fj, pose, 96, 96, 90.0)
+    n = raster.vertex_normals(verts, fj)
+    b = raster.render_mesh(verts, fj, pose, 96, 96, 90.0, normals=n)
+    assert int(np.asarray(a["mask"]).sum()) > 1000
+    for k in ("rgb", "mask", "depth", "face_id"):
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
 def test_zbuffer_kernel_matches_numpy_exact_oracle():
     """The pair-carry kernel orders winners by EXACT f32 inverse depth with
     ties to the higher face id — assert it against a brute-force numpy
