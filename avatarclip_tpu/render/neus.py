@@ -36,11 +36,14 @@ from ..fields import networks as nets
 # NeuS point megakernel on/off (tests force True to run the interpret-mode
 # kernel on CPU against the pure path)
 _FORCE_MEGA: bool | None = None
-# production width gate for the Pallas megakernel path: at 128-wide nets the
-# fixed 256-pt fused_sdf blocks measured SLOWER than XLA (docs/PROFILE.md);
-# scripts/perf_experiments.py lowers this to re-measure with width-scaled
-# megakernel blocks (fused_neus._TARGET_BLOCK scaling)
-_MIN_KERNEL_WIDTH = 256
+# production width gate for the Pallas megakernel path. Round 2 measured
+# 128-wide nets SLOWER through the fixed 256-pt fused_sdf blocks; with the
+# megakernel's width-scaled point blocks (fused_neus._TARGET_BLOCK scales
+# inversely with width -> 2048-pt blocks at 128-wide) the kernel path WINS
+# the examples_small full step 303.5k vs 229.2k rays/s on chip
+# (scripts/perf_experiments.py width128, docs/PROFILE.md round 3d), so
+# 128-wide is admitted. Widths below 128 stay on XLA (unmeasured).
+_MIN_KERNEL_WIDTH = 128
 
 
 @dataclasses.dataclass(frozen=True)
