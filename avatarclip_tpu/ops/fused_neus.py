@@ -184,15 +184,14 @@ def _sdf_forward_states(spec, named, x_raw, consts, need_gradient=True):
     as residuals instead of re-deriving them, saving ~H^2*n_hidden + H*E
     matmul FLOPs per point of pure recompute (the sweep's intermediates are
     not used anywhere downstream, only g itself)."""
-    comp, oneh, freq, sinsel, cossel = consts
+    comp, oneh, freq, ph, nfreq2 = consts
     x = x_raw * spec.scale
     xe = _dot_f32(x, comp)
-    tr = freq * xe
+    tr = freq * xe + ph  # phased: cos columns ride sin(t + pi/2)
     s_tr = jnp.sin(tr)
-    c_tr = jnp.cos(tr)
-    e = oneh * xe + sinsel * s_tr + cossel * c_tr
-    de = oneh + freq * (sinsel * c_tr - cossel * s_tr)
-    dde = -freq * freq * (sinsel * s_tr + cossel * c_tr)
+    e = oneh * xe + s_tr
+    de = oneh + freq * jnp.cos(tr)
+    dde = nfreq2 * s_tr  # forward-only callers DCE this (bwd-only use)
 
     a_list, p_list = [e], []
     h = e
@@ -201,13 +200,10 @@ def _sdf_forward_states(spec, named, x_raw, consts, need_gradient=True):
         h, p = fused_sdf._sp_sig(z)
         a_list.append(h)
         p_list.append(p)
+    # padded bias cols are -1e3 => a_s/p_s exactly 0 there (dense_weights)
     z_s = _dot(h, named["wskip"][...]) + named["bskip"][...]
-    sp_s, sig_s = fused_sdf._sp_sig(z_s)
-    S = spec.skip_width
-    col = jax.lax.broadcasted_iota(jnp.int32, z_s.shape, 1)
-    smask = (col < S).astype(jnp.float32)
-    a_s = sp_s * smask
-    p_s = sig_s * smask
+    a_s, p_s = fused_sdf._sp_sig(z_s)
+    sig_s = p_s
 
     feat = (
         _dot(a_s, named["wf_a"][...])
@@ -240,7 +236,7 @@ def _sdf_forward_states(spec, named, x_raw, consts, need_gradient=True):
         )
     return {
         "e": e, "de": de, "dde": dde, "a_list": a_list, "p_list": p_list,
-        "z_s": z_s, "sig_s": sig_s, "smask": smask, "a_s": a_s, "p_s": p_s,
+        "z_s": z_s, "sig_s": sig_s, "a_s": a_s, "p_s": p_s,
         "feat": feat, "sdf": s_net / spec.scale, "g": g,
     }
 
@@ -283,12 +279,12 @@ def _fwd_kernel(spec: FusedNeuSSpec, *refs):
     _, head = _color_forward(cs, named, x_raw, st["g"], dirs, st["feat"])
     alpha, cdf = _alpha_chain(st["sdf"], st["g"], dirs, dist, inv_s, r)
 
-    pts_norm = jnp.sqrt(jnp.sum(x_raw * x_raw, axis=-1, keepdims=True))
-    inside = (pts_norm < 1.0).astype(jnp.float32)
+    r2 = jnp.sum(x_raw * x_raw, axis=-1, keepdims=True)  # squared compares
+    inside = (r2 < 1.0).astype(jnp.float32)  # == |x| < 1.0, sqrt-free
     # padded rays sit at |pts| = 10 (point_eval_fused), outside the relax
     # sphere — no explicit validity mask needed, and the same expression is
     # shard-local under shard_map
-    relax = (pts_norm < 1.2).astype(jnp.float32)
+    relax = (r2 < 1.44).astype(jnp.float32)  # == |x| < 1.2
 
     num, den = _eik_terms(st["g"], relax)
     lane = jax.lax.broadcasted_iota(jnp.int32, eik_ref.shape, 1)
@@ -443,8 +439,8 @@ def _fwd_kernel_ray(spec: FusedNeuSSpec, *refs):
         _, head = _color_forward(cs, named, x_raw, st["g"], dirs, st["feat"])
         tc = jnp.sum(dirs * st["g"], axis=-1, keepdims=True)  # (B, 1)
 
-        pts_norm = jnp.sqrt(jnp.sum(x_raw * x_raw, axis=-1, keepdims=True))
-        relax = (pts_norm < 1.2).astype(jnp.float32)
+        r2 = jnp.sum(x_raw * x_raw, axis=-1, keepdims=True)
+        relax = (r2 < 1.44).astype(jnp.float32)  # == |x| < 1.2, sqrt-free
         num, den = _eik_terms(st["g"], relax)
         eik_ref[...] += jnp.where(
             lane == 0, num, jnp.where(lane == 1, den, 0.0)
@@ -540,7 +536,7 @@ def _bwd_kernel(spec: FusedNeuSSpec, *refs):
     (o_ref, d_ref, z_ref, t_ref, sc_ref, sdf_in_ref, g_in_ref, csdf_ref,
      calpha_ref, ccdf_ref, cgrad_ref, crgb_ref, ceik_ref) = refs[:13]
     consts = [r[...] for r in refs[13:18]]
-    comp, oneh, freq, sinsel, cossel = consts
+    comp = consts[0]
     s_names = _sdf_w_names(ss)
     c_names = [f"c_{nm}" for nm in fused_color._name_list(cs)]
     n_w = len(s_names) + len(c_names)
@@ -593,8 +589,8 @@ def _bwd_kernel(spec: FusedNeuSSpec, *refs):
     _, vjp_a = jax.vjp(chain, sdf, g, dirs, dist, inv_s)
     cs_a, cg_a, cd_a, ct_a, civs = vjp_a((c_alpha, c_cdf))
 
-    pts_norm = jnp.sqrt(jnp.sum(x_raw * x_raw, axis=-1, keepdims=True))
-    relax = (pts_norm < 1.2).astype(jnp.float32)
+    r2 = jnp.sum(x_raw * x_raw, axis=-1, keepdims=True)
+    relax = (r2 < 1.44).astype(jnp.float32)  # == |x| < 1.2, sqrt-free
 
     def eik_num(g_):
         n, _ = _eik_terms(g_, relax)
@@ -697,8 +693,8 @@ def _bwd_kernel_ray(spec: FusedNeuSSpec, *refs):
         cg_a = cg_comp + ctc * dirs
         cd_a = ctc * g
 
-        pts_norm = jnp.sqrt(jnp.sum(x_raw * x_raw, axis=-1, keepdims=True))
-        relax = (pts_norm < 1.2).astype(jnp.float32)
+        r2 = jnp.sum(x_raw * x_raw, axis=-1, keepdims=True)
+        relax = (r2 < 1.44).astype(jnp.float32)  # == |x| < 1.2, sqrt-free
 
         def eik_num(g_):
             n, _ = _eik_terms(g_, relax)
@@ -749,7 +745,7 @@ def _sdf_reverse(ss, named, gnamed, st, comp, cs_tot, v, cf):
     psm = st["p_s"]
     a_s = st["a_s"]
     a_s_dot = psm * zd_s
-    sig_s, smask = st["sig_s"], st["smask"]
+    sig_s = st["sig_s"]
 
     gnamed["dwf_a"][...] += _dotB(a_s, cf)
     gnamed["dwf_e"][...] += _dotB(e, cf)
@@ -778,7 +774,7 @@ def _sdf_reverse(ss, named, gnamed, st, comp, cs_tot, v, cf):
     # boundaries is the Mosaic-friendly direction — the lane-concat variant
     # of this idea (merging the color net's narrow input dots) measured
     # -1.9% and was reverted.
-    cz = ca_s * psm + cad * zd_s * (100.0 * sig_s * (1.0 - sig_s) * smask)
+    cz = ca_s * psm + cad * zd_s * (100.0 * sig_s * (1.0 - sig_s))
     czd = cad * psm
     both = jnp.concatenate([cz, czd], axis=0)
     gnamed["dwskip"][...] += _dotB(

@@ -134,7 +134,16 @@ def dense_weights(params, spec: FusedSDFSpec):
     # pre-skip layer (index n_hidden): out width S = H - d_embed, pad to H
     wl = dense(layers[spec.n_hidden])
     out["wskip"] = padT(wl, H, H)  # cols S..H-1 zero
-    out["bskip"] = jnp.zeros((1, H)).at[0, :S].set(layers[spec.n_hidden]["b"])
+    # padded bias cols carry -1e3 so z_s = -1e3 there: softplus(100 z) and
+    # sigmoid(100 z) are then EXACTLY 0.0 (exp(-1e5) underflows to 0), which
+    # bakes the skip mask into the bias — the kernels need no iota/smask
+    # passes, and every downstream masked product (a_s, p_s, cz, ...) is
+    # zero for free. Gradients: sigmoid''-style factors all carry the
+    # exact-zero sigmoid, so padded columns contribute exactly 0 to every
+    # weight grad, same as the explicit mask did.
+    out["bskip"] = jnp.full((1, H), -1e3, jnp.float32).at[0, :S].set(
+        layers[spec.n_hidden]["b"]
+    )
     # final layer: (1 + F, H) over u = [a_skip(S); e(de)]/sqrt(2)
     wfin = dense(layers[spec.n_hidden + 1]) / np.sqrt(2.0)
     w_a = wfin[:, :S]  # (1+F, S)
@@ -155,18 +164,28 @@ def dense_weights(params, spec: FusedSDFSpec):
 
 
 def _pe_constants(spec: FusedSDFSpec):
-    """(comp (3, E), oneh (1, E), freq (1, E), sinsel (1, E), cossel (1, E)).
+    """(comp (3, E), oneh (1, E), freq (1, E), ph (1, E), nfreq2 (1, E)).
 
     Column j of the padded embedding corresponds to component comp(j) with
     e_j = x_c (j<3) | sin(f_k x_c) | cos(f_k x_c); layout follows
     fields/embedder.py: [x, sin(f0 x), cos(f0 x), sin(f1 x), ...].
+
+    Phase form: cos columns carry ph = pi/2 so every trig column is ONE
+    payload s = sin(freq * xe + ph) (cos(t) = sin(t + pi/2)); x and padding
+    columns have freq = ph = 0 => s = 0 there. Then
+        e   = oneh * xe + s
+        de  = oneh + freq * cos(freq * xe + ph)
+        dde = nfreq2 * s            (nfreq2 = -freq^2)
+    which is 5 fewer (B, E) VPU passes per kernel than the sinsel/cossel
+    select form (8 fewer in the backward, which also needs dde) at the
+    same two transcendentals. f32 phase addition perturbs the trig args
+    by <=1 ulp (pi/2 is exactly representable to f32 precision).
     """
     E = spec.e_pad
     comp = np.zeros((3, E), np.float32)
     oneh = np.zeros((1, E), np.float32)
     freq = np.zeros((1, E), np.float32)
-    sinsel = np.zeros((1, E), np.float32)
-    cossel = np.zeros((1, E), np.float32)
+    ph = np.zeros((1, E), np.float32)
     for c in range(3):
         comp[c, c] = 1.0
         oneh[0, c] = 1.0
@@ -176,14 +195,13 @@ def _pe_constants(spec: FusedSDFSpec):
         for c in range(3):
             comp[c, j] = 1.0
             freq[0, j] = f
-            sinsel[0, j] = 1.0
             j += 1
         for c in range(3):
             comp[c, j] = 1.0
             freq[0, j] = f
-            cossel[0, j] = 1.0
+            ph[0, j] = float(np.pi / 2.0)
             j += 1
-    return comp, oneh, freq, sinsel, cossel
+    return comp, oneh, freq, ph, -freq * freq
 
 
 def _sp(z):
@@ -241,7 +259,7 @@ def _dot_f32(a, b):
 
 
 def _fwd_kernel(spec: FusedSDFSpec, n_hidden: int, *refs):
-    (x_ref, comp_ref, oneh_ref, freq_ref, sinsel_ref, cossel_ref,
+    (x_ref, comp_ref, oneh_ref, freq_ref, ph_ref, nfreq2_ref,
      *wrefs) = refs[: 6 + 2 * (n_hidden + 1) + 9]
     named = {}
     wi = 6
@@ -258,14 +276,12 @@ def _fwd_kernel(spec: FusedSDFSpec, n_hidden: int, *refs):
     xe = _dot_f32(x, comp)  # (B, E): x_{comp(j)} at each column
     oneh = oneh_ref[...]
     freq = freq_ref[...]
-    sinsel = sinsel_ref[...]
-    cossel = cossel_ref[...]
+    ph = ph_ref[...]
 
-    tr = freq * xe
+    tr = freq * xe + ph  # phased: cos columns ride sin(t + pi/2)
     s_tr = jnp.sin(tr)
-    c_tr = jnp.cos(tr)
-    e = oneh * xe + sinsel * s_tr + cossel * c_tr  # (B, E)
-    de = oneh + freq * (sinsel * c_tr - cossel * s_tr)  # d e_j / d x_comp(j)
+    e = oneh * xe + s_tr  # (B, E)
+    de = oneh + freq * jnp.cos(tr)  # d e_j / d x_comp(j)
 
     # hidden stack
     acts = []
@@ -276,15 +292,10 @@ def _fwd_kernel(spec: FusedSDFSpec, n_hidden: int, *refs):
         h, p = _sp_sig(z)
         acts.append(h)
         ps.append(p)
-    # pre-skip layer -> a_s (padded cols are sp(0) but masked by zero weight
-    # columns of wskip, so force exact zeros for cleanliness)
+    # pre-skip layer -> a_s. The padded bias cols hold -1e3 (dense_weights)
+    # so sp/sig are exactly 0.0 there — no iota/mask passes needed.
     z_s = _dot(h, named["wskip"][...]) + named["bskip"][...]
-    sp_s, p_s = _sp_sig(z_s)
-    S = spec.skip_width
-    col = jax.lax.broadcasted_iota(jnp.int32, z_s.shape, 1)
-    smask = (col < S).astype(jnp.float32)
-    a_s = sp_s * smask
-    p_s = p_s * smask
+    a_s, p_s = _sp_sig(z_s)
 
     # final layer (skip already folded: u = [a_s; e]/sqrt2, weights pre-scaled)
     feat = (
@@ -390,8 +401,8 @@ def _run_fwd(spec: FusedSDFSpec, weights: dict, pts: jnp.ndarray):
 
 
 def _bwd_kernel(spec: FusedSDFSpec, n_hidden: int, *refs):
-    (x_ref, csg_ref, cf_ref, comp_ref, oneh_ref, freq_ref, sinsel_ref,
-     cossel_ref) = refs[:8]
+    (x_ref, csg_ref, cf_ref, comp_ref, oneh_ref, freq_ref, ph_ref,
+     nfreq2_ref) = refs[:8]
     named = {}
     wi = 8
     for i in range(n_hidden):
@@ -435,16 +446,15 @@ def _bwd_kernel(spec: FusedSDFSpec, n_hidden: int, *refs):
     comp = comp_ref[...]
     oneh = oneh_ref[...]
     freq = freq_ref[...]
-    sinsel = sinsel_ref[...]
-    cossel = cossel_ref[...]
+    ph = ph_ref[...]
+    nfreq2 = nfreq2_ref[...]
 
     xe = _dot_f32(x, comp)
-    tr = freq * xe
+    tr = freq * xe + ph  # phased: cos columns ride sin(t + pi/2)
     s_tr = jnp.sin(tr)
-    c_tr = jnp.cos(tr)
-    e = oneh * xe + sinsel * s_tr + cossel * c_tr
-    de = oneh + freq * (sinsel * c_tr - cossel * s_tr)
-    dde = -freq * freq * (sinsel * s_tr + cossel * c_tr)
+    e = oneh * xe + s_tr
+    de = oneh + freq * jnp.cos(tr)
+    dde = nfreq2 * s_tr
 
     # primal + tangent forward, keeping per-layer states
     xed = _dot_f32(v, comp)  # xe tangent
@@ -460,13 +470,10 @@ def _bwd_kernel(spec: FusedSDFSpec, n_hidden: int, *refs):
         p_list.append(p)
         t_list.append(t)
         zd_list.append(zd)
+    # padded bias cols are -1e3 => a_s/psm exactly 0 there (dense_weights)
     z_s = _dot(h, named["wskip"][...]) + named["bskip"][...]
-    sp_s, sig_s = _sp_sig(z_s)
-    S = spec.skip_width
-    col = jax.lax.broadcasted_iota(jnp.int32, z_s.shape, 1)
-    smask = (col < S).astype(jnp.float32)
-    a_s = sp_s * smask
-    psm = sig_s * smask
+    a_s, psm = _sp_sig(z_s)
+    sig_s = psm
     zd_s = _dot(t, named["wskip"][...])
     a_s_dot = psm * zd_s
 
@@ -489,7 +496,7 @@ def _bwd_kernel(spec: FusedSDFSpec, n_hidden: int, *refs):
     ced_head = wse  # cot on ed (broadcast later)
 
     # ---- skip layer reverse ---------------------------------------------
-    cz = ca * psm + cad * zd_s * (100.0 * sig_s * (1.0 - sig_s) * smask)
+    cz = ca * psm + cad * zd_s * (100.0 * sig_s * (1.0 - sig_s))
     czd = cad * psm
     gnamed["dwskip"][...] += dotB(a_list[n_hidden], cz) + dotB(
         t_list[n_hidden], czd
@@ -612,22 +619,20 @@ def _sdf_only_names(spec: FusedSDFSpec):
 
 def _sdf_only_kernel(spec: FusedSDFSpec, *refs):
     x_ref = refs[0]
-    comp, oneh, freq, sinsel, cossel = [r[...] for r in refs[1:6]]
+    comp, oneh, freq, ph, _nfreq2 = [r[...] for r in refs[1:6]]
     names = _sdf_only_names(spec)
     named = dict(zip(names, refs[6 : 6 + len(names)]))
     out_ref = refs[6 + len(names)]
 
     x = x_ref[...] * spec.scale
     xe = _dot_f32(x, comp)
-    tr = freq * xe
-    e = oneh * xe + sinsel * jnp.sin(tr) + cossel * jnp.cos(tr)
+    e = oneh * xe + jnp.sin(freq * xe + ph)
     h = e
     for i in range(spec.n_hidden):
         h = _sp(_dot(h, named[f"w{i}"][...]) + named[f"b{i}"][...])
+    # padded bias cols are -1e3 => softplus exactly 0 there (dense_weights)
     z_s = _dot(h, named["wskip"][...]) + named["bskip"][...]
-    col = jax.lax.broadcasted_iota(jnp.int32, z_s.shape, 1)
-    smask = (col < spec.skip_width).astype(jnp.float32)
-    a_s = _sp(z_s) * smask
+    a_s = _sp(z_s)
     s = (
         jnp.sum(a_s * named["wsa_row"][...], axis=1, keepdims=True)
         + jnp.sum(e * named["wse_row"][...], axis=1, keepdims=True)
@@ -640,11 +645,10 @@ def _dense_sdf_only(weights, pts, spec: FusedSDFSpec):
     """Pure-XLA twin of _sdf_only_kernel at the dense-weight level — the
     differentiable fallback for the custom VJP."""
     consts = [jnp.asarray(c) for c in _pe_constants(spec)]
-    comp, oneh, freq, sinsel, cossel = consts
+    comp, oneh, freq, ph, _nfreq2 = consts
     x = pts * spec.scale
     xe = x @ comp
-    tr = freq * xe
-    e = oneh * xe + sinsel * jnp.sin(tr) + cossel * jnp.cos(tr)
+    e = oneh * xe + jnp.sin(freq * xe + ph)
     h = e
     dt = _OPERAND_DTYPE
     for i in range(spec.n_hidden):
@@ -659,10 +663,7 @@ def _dense_sdf_only(weights, pts, spec: FusedSDFSpec):
                 preferred_element_type=jnp.float32)
         + weights["bskip"]
     )
-    smask = (jnp.arange(z_s.shape[1])[None, :] < spec.skip_width).astype(
-        jnp.float32
-    )
-    a_s = _sp(z_s) * smask
+    a_s = _sp(z_s)  # padded bias cols are -1e3 => exactly 0 (dense_weights)
     s = (
         jnp.sum(a_s * weights["wsa_row"], axis=1, keepdims=True)
         + jnp.sum(e * weights["wse_row"], axis=1, keepdims=True)

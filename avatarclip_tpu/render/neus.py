@@ -87,12 +87,14 @@ def sample_pdf(
         u = jax.random.uniform(rng, (R, n_samples))
 
     # searchsorted(side='right') as a vectorized comparison count: the index
-    # of the first cdf bin > u equals #{j : cdf_j <= u}. A (R, B, N) boolean
+    # of the first cdf bin > u equals #{j : cdf_j <= u}. A 3-D boolean
     # reduction maps onto the VPU; the vmapped searchsorted alternative lowers
     # to per-row while loops that both compile and run orders of magnitude
-    # slower on TPU.
+    # slower on TPU. Orientation (R, N, B) — the tiny N rides sublanes and
+    # the B bins ride lanes; the (R, B, N) form lane-pads N (8 -> 128, 16x
+    # the bytes through the VPU).
     inds = jnp.sum(
-        (cdf[:, :, None] <= u[:, None, :]).astype(jnp.int32), axis=1
+        (cdf[:, None, :] <= u[:, :, None]).astype(jnp.int32), axis=2
     )
     below = jnp.maximum(inds - 1, 0)
     above = jnp.minimum(inds, cdf.shape[-1] - 1)
@@ -117,13 +119,15 @@ def _gather_cols(vals: list, idx: jnp.ndarray) -> list:
     channels stay 2-D throughout — stacked (R, C, B) forms tile as
     T(2,128) on TPU (sublane dim C=2 padded to 8, 4x the vector passes)."""
     B = vals[0].shape[-1]
+    # (R, N, B) orientation: N (the handful of gathered columns) rides
+    # sublanes, B rides lanes — the (R, B, N) form lane-pads N (8 -> 128).
     onehot = (
-        jnp.arange(B, dtype=idx.dtype)[None, :, None] == idx[:, None, :]
-    ).astype(vals[0].dtype)  # (R, B, N)
+        idx[:, :, None] == jnp.arange(B, dtype=idx.dtype)[None, None, :]
+    ).astype(vals[0].dtype)  # (R, N, B)
     return [
         jax.lax.dot_general(
             v, onehot,
-            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            dimension_numbers=(((1,), (2,)), ((0,), (0,))),
             preferred_element_type=v.dtype,
         )
         for v in vals
@@ -139,9 +143,14 @@ def up_sample(
     inv_s: float,
 ) -> jnp.ndarray:
     """One importance-sampling refinement step (renderer.py:133-177)."""
-    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
-    radius = jnp.linalg.norm(pts, axis=-1)
-    inside_sphere = (radius[:, :-1] < 1.0) | (radius[:, 1:] < 1.0)
+    # |o + d z|^2 as a ray-major quadratic form: the (R, S, 3) point cloud
+    # (used here only for its norm) lane-pads 3 -> 128 on TPU (42x the
+    # bytes); the 2-D (R, S) form streams at full lane density.
+    o2 = jnp.sum(rays_o * rays_o, axis=-1, keepdims=True)
+    od = jnp.sum(rays_o * rays_d, axis=-1, keepdims=True)
+    d2 = jnp.sum(rays_d * rays_d, axis=-1, keepdims=True)
+    r2 = o2 + (2.0 * od + d2 * z_vals) * z_vals
+    inside_sphere = (r2[:, :-1] < 1.0) | (r2[:, 1:] < 1.0)
 
     prev_sdf, next_sdf = sdf[:, :-1], sdf[:, 1:]
     prev_z, next_z = z_vals[:, :-1], z_vals[:, 1:]
@@ -178,9 +187,12 @@ def _merge_sorted(a: jnp.ndarray, b: jnp.ndarray):
     sort ballooned whole-graph compile time).
     """
     A, B = a.shape[-1], b.shape[-1]
-    # a_i goes after all a_j (j<i) and all b_k < a_i (ties: a first)
+    # a_i goes after all a_j (j<i) and all b_k < a_i (ties: a first).
+    # Both pairwise tensors are oriented (R, B_small, A_large): the tiny
+    # new-sample dim rides sublanes, the big dim rides lanes (the opposite
+    # orientation lane-pads B from 8 to 128, 16x the VPU bytes).
     pos_a = jnp.arange(A)[None, :] + jnp.sum(
-        (b[:, None, :] < a[:, :, None]).astype(jnp.int32), axis=-1
+        (b[:, :, None] < a[:, None, :]).astype(jnp.int32), axis=1
     )
     pos_b = jnp.arange(B)[None, :] + jnp.sum(
         (a[:, None, :] <= b[:, :, None]).astype(jnp.int32), axis=-1
