@@ -42,10 +42,15 @@ def force_cpu_platform(n_devices: int) -> None:
 
     jax.config.update("jax_platforms", "cpu")
     # Persistent compile cache: the fused step takes ~minutes to compile on
-    # CPU; reruns (driver invocations, CI) hit the cache.
+    # CPU; reruns (driver invocations, CI) hit the cache. PRIVATE dir
+    # (.jax_cache_dryrun, not the shared .jax_cache): XLA:CPU AOT entries
+    # embed host machine features, and inheriting entries compiled under
+    # different host flags spams "could lead to execution errors such as
+    # SIGILL" warnings — and could actually poison the dryrun (VERDICT r3
+    # weak #5). A cache only ever written by this dryrun can't skew.
     cache = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".jax_cache",
+        ".jax_cache_dryrun",
     )
     try:
         jax.config.update("jax_compilation_cache_dir", cache)

@@ -88,7 +88,8 @@ def main():
     from avatarclip_tpu.pipelines import synthetic
 
     warm_extra = 2
-    iters = 30
+    iters = 48
+    per_bucket_iters = 12
 
     with tempfile.TemporaryDirectory() as d:
         # keep stdout to exactly one JSON line: setup chatter goes to stderr
@@ -143,6 +144,48 @@ def main():
         dt = time.perf_counter() - t0
 
         rays_per_sec = R * iters / dt
+
+        # -- stratified per-bucket pass (VERDICT r3 weak #6) ---------------
+        # The true camera stream concentrates on mid/large buckets; the
+        # small (face-camera-class) variants would otherwise never be timed.
+        # The HEADLINE above stays the honest true-stream window; this pass
+        # times EVERY ladder variant separately (same ray budget R at every
+        # bucket: min(buckets)^2 == max_ray_num) so the per-bucket ledger is
+        # populated for all six.
+        bucket_rays = {}
+        with contextlib.redirect_stdout(sys.stderr):
+            def _cam_args(cam):
+                return {
+                    "pose": cam["pose"], "theta": cam["theta"],
+                    "phi": cam["phi"], "is_front": cam["is_front"],
+                    "face_iter": np.bool_(cam["face_iter"]),
+                }
+
+            for S in buckets:
+                if S not in runner._clip_step_variants:
+                    runner._make_clip_step_at(S)
+                vstep = runner._clip_step_variants[S]
+                p_b, o_b = params, opt_state
+                for j in range(2):  # warm/compile
+                    key, k = jax.random.split(key)
+                    p_b, o_b, mb = vstep(
+                        p_b, o_b, k, j, runner._clip_const,
+                        _cam_args(cams[j][0]),
+                    )
+                jax.block_until_ready(p_b)
+                float(mb["loss"])
+                tb = time.perf_counter()
+                for j in range(per_bucket_iters):
+                    key, k = jax.random.split(key)
+                    p_b, o_b, mb = vstep(
+                        p_b, o_b, k, j, runner._clip_const,
+                        _cam_args(cams[j % len(cams)][0]),
+                    )
+                jax.block_until_ready(p_b)
+                float(mb["loss"])
+                bucket_rays[int(S)] = round(
+                    R * per_bucket_iters / (time.perf_counter() - tb), 1
+                )
 
         # -- MFU ledger, per executed bucket ------------------------------
         mfu_model = mfu_hw = None
@@ -261,6 +304,7 @@ def main():
             "sil_buckets": list(buckets),
             "buckets_executed": {int(b): schedule.count(b)
                                  for b in sorted(set(schedule))},
+            "bucket_rays_per_sec": bucket_rays,
         },
     }
     if mfu_model is not None:

@@ -121,3 +121,19 @@ def test_sdf_only_non_aligned(setup):
     assert s.shape == (77, 1)
     s_p = nets.sdf_apply(params, cfg, pts, sdf_only=True)
     assert float(jnp.abs(s - s_p).max()) < 3e-2
+
+
+def test_padded_bias_sentinel_exact_zero():
+    """ADVICE r3: the -1e3 padded-bias sentinel bakes the skip mask into the
+    bias by relying on exp(-beta*1e3) underflowing, so softplus(beta*z)/beta
+    and sigmoid(beta*z) are EXACTLY 0.0 at the sentinel — not merely tiny.
+    If the activation scale (beta=100, hardcoded in _sp/_sp_sig) or the
+    sentinel magnitude ever changes such that this stops holding, padded
+    columns would leak activations and gradients silently."""
+    sp, sig = fused_sdf._sp_sig(jnp.float32(-1e3))
+    assert float(sp) == 0.0
+    assert float(sig) == 0.0
+    assert float(fused_sdf._sp(jnp.float32(-1e3))) == 0.0
+    # the derivative chain through the sentinel is also exactly zero
+    g = jax.grad(lambda z: fused_sdf._sp(z))(jnp.float32(-1e3))
+    assert float(g) == 0.0
