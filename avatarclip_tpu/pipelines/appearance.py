@@ -167,6 +167,9 @@ class TrainConfig:
     # of the rasterizer cost at the price of box-filter antialiasing)
     remat: str = "none"  # none | full: rematerialize the NeuS render in bwd
     clip_stop_iter: int = 30010  # hard break (main.py:346-347)
+    # run periodic validations on a worker thread against a params snapshot
+    # so host-side validation cost overlaps training (see _submit_validation)
+    async_validation: bool = True
 
     @property
     def sil_res(self) -> int:
@@ -306,6 +309,7 @@ class Runner:
         # batch-fetched once per report window (see _flush_metrics)
         self._metric_buf: list = []
         self._last_flushed: dict = {}
+        self._val_futures: list = []
 
         seed = conf.get_int("train.seed", 0) or 0
         self.key = jax.random.PRNGKey(seed)
@@ -959,6 +963,7 @@ class Runner:
                 t_last, it_last = now, self.iter_step
             self._post_iter(metrics)
         self._flush_metrics()
+        self._drain_validations()
 
     def train_clip(self):
         self.logger = MetricsLogger(os.path.join(self.base_exp_dir, "logs"))
@@ -989,6 +994,7 @@ class Runner:
                 t_last, it_last = now, self.iter_step
             self._post_iter(metrics)
         self._flush_metrics()
+        self._drain_validations()
 
     def profile_trace(self, out_dir: str, n_iters: int = 3):
         """Capture a jax.profiler trace of the train_clip step (SURVEY.md §5
@@ -1044,9 +1050,50 @@ class Runner:
         if it % tc.save_freq == 0:
             self.save_checkpoint()
         if it % tc.val_freq == 0:
-            self.validate_image(idx=58 if self.mode == "train_clip" else -1)
+            self._submit_validation(
+                self.validate_image,
+                idx=58 if self.mode == "train_clip" else -1,
+            )
         if it % tc.val_mesh_freq == 0:
-            self.validate_mesh()
+            self._submit_validation(self.validate_mesh)
+
+    # -- asynchronous validation --------------------------------------------
+    #
+    # Periodic validations ran inline in round 3 and cost roughly half the
+    # flagship wall-clock (VERDICT r3 #1b): each one blocks the train loop on
+    # chunked device renders, big device->host fetches through the ~68 ms-RTT
+    # tunnel, marching-cubes topology on the host CPU and PNG/PLY encoding.
+    # The device time is unavoidable (same chip), but everything host-side
+    # overlaps training if the validation runs on a worker thread against a
+    # SNAPSHOT of (params, iter_step): params are immutable jax arrays and
+    # the train step does not donate them, so the snapshot stays valid while
+    # training advances. A single worker preserves validation order; the
+    # futures are drained (and their exceptions re-raised) at loop end and
+    # at every flush boundary overflow (bounded queue).
+
+    @functools.cached_property
+    def _val_executor(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        return ThreadPoolExecutor(max_workers=1, thread_name_prefix="val")
+
+    def _submit_validation(self, fn, **kw):
+        if not self.tc.async_validation:
+            fn(**kw)
+            return
+        kw.setdefault("params", self.params)
+        kw.setdefault("it", self.iter_step)
+        self._val_futures = [f for f in self._val_futures if not f.done()
+                             or f.exception() is not None]
+        for f in self._val_futures:
+            if f.done() and f.exception() is not None:
+                raise f.exception()
+        self._val_futures.append(self._val_executor.submit(fn, **kw))
+
+    def _drain_validations(self):
+        futs, self._val_futures = self._val_futures, []
+        for f in futs:
+            f.result()  # re-raises worker exceptions
 
     def _flush_metrics(self):
         """Drain the buffered (iter, device-metrics) records with a single
@@ -1084,15 +1131,32 @@ class Runner:
 
         @jax.jit
         def go(params, rays_o, rays_d, near, far, background_rgb):
-            return neus.render(
+            out = neus.render(
                 params, ncfg, cfgs, rays_o, rays_d, near, far, rng=None,
                 background_rgb=background_rgb, cos_anneal_ratio=1.0,
             )
+            # per-ray reductions computed ON DEVICE: consumers that only
+            # need the weighted normal / expected depth would otherwise
+            # fetch the full (N, S, 3) gradients + (N, S) weights streams —
+            # ~85 MB per 256^2 validation image through a ~68 ms-RTT remote
+            # tunnel (VERDICT r3 #1b: make the validation cadence cheap)
+            S = ncfg.n_samples + ncfg.n_importance
+            w = out["weights"][:, :S]
+            out["depth"] = (out["mid_z_vals"][:, :S] * w).sum(1)
+            out["normal_map"] = (
+                out["gradients"] * w[..., None]
+                * out["inside_sphere"][..., None]
+            ).sum(1)
+            # cast-light variant: the reference's normal sum there carries
+            # no inside_sphere mask (main.py:707-712)
+            out["normal_map_nomask"] = (out["gradients"] * w[..., None]).sum(1)
+            return out
 
         return go
 
     def render_rays_chunked(
-        self, rays_o, rays_d, background_rgb=None, keys=None, chunk=None
+        self, rays_o, rays_d, background_rgb=None, keys=None, chunk=None,
+        params=None,
     ):
         """Render N rays through fixed-size jitted chunks; returns stacked
         numpy dict for the requested keys.
@@ -1103,6 +1167,7 @@ class Runner:
         """
         keys = keys or ["color_fine", "extra_color_fine"]
         chunk = chunk or max(self.tc.batch_size, 16384)
+        params = self.params if params is None else params
         n = rays_o.shape[0]
         outs: dict[str, list] = {k: [] for k in keys}
         for start in range(0, n, chunk):
@@ -1115,9 +1180,7 @@ class Runner:
                     [rd, jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (pad, 1))], 0
                 )
             near, far = cameras.near_far_from_sphere(ro, rd)
-            out = self._render_chunk(
-                self.params, ro, rd, near, far, background_rgb
-            )
+            out = self._render_chunk(params, ro, rd, near, far, background_rgb)
             m = ro.shape[0] - pad
             for k in keys:
                 v = out[k]
@@ -1131,19 +1194,21 @@ class Runner:
             for k, v in outs.items()
         }
 
-    def validate_image(self, idx: int = -1, resolution_level: int = -1):
+    def validate_image(self, idx: int = -1, resolution_level: int = -1,
+                       params=None, it=None):
         if idx < 0:
             idx = int(np.random.randint(self.dataset.n_images))
         if resolution_level < 0:
             resolution_level = self.tc.validate_resolution_level
-        print(f"Validate: iter: {self.iter_step}, camera: {idx}")
+        it = self.iter_step if it is None else it
+        print(f"Validate: iter: {it}, camera: {idx}")
         rays_o, rays_d = self.dataset.gen_rays_at(idx, resolution_level)
         H, W = rays_o.shape[0], rays_o.shape[1]
         bg = jnp.ones((1, 3)) if self.tc.use_white_bkgd else None
         out = self.render_rays_chunked(
             rays_o.reshape(-1, 3), rays_d.reshape(-1, 3), bg,
-            keys=["color_fine", "extra_color_fine", "gradients", "weights",
-                  "inside_sphere"],
+            keys=["color_fine", "extra_color_fine", "normal_map"],
+            params=params,
         )
         import imageio.v2 as imageio
 
@@ -1161,7 +1226,7 @@ class Runner:
         imageio.imwrite(
             os.path.join(
                 self.base_exp_dir, "validations_fine",
-                f"{self.iter_step:08d}_0_{idx}.png",
+                f"{it:08d}_0_{idx}.png",
             ),
             img,
         )
@@ -1173,28 +1238,25 @@ class Runner:
             imageio.imwrite(
                 os.path.join(
                     self.base_exp_dir, "validations_extra_fine",
-                    f"{self.iter_step:08d}_0_{idx}.png",
+                    f"{it:08d}_0_{idx}.png",
                 ),
                 to8b(out["extra_color_fine"].reshape(H, W, 3)),
             )
-        # normal map (main.py:777-798)
-        n_total = self.ncfg.n_samples + self.ncfg.n_importance
-        normals = (
-            out["gradients"] * out["weights"][:, :n_total, None]
-            * out["inside_sphere"][..., None]
-        ).sum(axis=1)
+        # normal map (main.py:777-798); weighted sum reduced on device
+        normals = out["normal_map"]
         rot = np.linalg.inv(np.asarray(self.dataset.poses[idx][:3, :3]))
         normals = (rot[None] @ normals[..., None])[..., 0].reshape(H, W, 3)
         os.makedirs(os.path.join(self.base_exp_dir, "normals"), exist_ok=True)
         imageio.imwrite(
             os.path.join(
-                self.base_exp_dir, "normals", f"{self.iter_step:08d}_0_{idx}.png"
+                self.base_exp_dir, "normals", f"{it:08d}_0_{idx}.png"
             ),
             np.clip(normals * 128 + 128, 0, 255).astype(np.uint8),
         )
 
     def validate_mesh(
-        self, world_space: bool = False, resolution: int = 256, threshold: float = 0.0
+        self, world_space: bool = False, resolution: int = 256,
+        threshold: float = 0.0, params=None, it=None,
     ):
         """Extract + color-bake + export the mesh (main.py:850-919).
 
@@ -1207,7 +1269,9 @@ class Runner:
         mapped ``v * scale[0,0] + scale[:3,3]`` before export. The SMPL
         dataset has no scale mats, so there the flag is a no-op — matching
         the reference bit-for-bit on the flagship path."""
-        params, cfgs = self.params, self.cfgs
+        params = self.params if params is None else params
+        it = self.iter_step if it is None else it
+        cfgs = self.cfgs
 
         def query(pts):
             return -nets.sdf_value(params["sdf"], cfgs.sdf, pts)[..., 0]
@@ -1218,26 +1282,23 @@ class Runner:
         )
         os.makedirs(os.path.join(self.base_exp_dir, "meshes"), exist_ok=True)
 
-        rgb_final, diff_final = self._bake_vertex_colors(vertices)
+        rgb_final, diff_final = self._bake_vertex_colors(vertices, params)
         scale_mats = getattr(self.dataset, "scale_mats_np", None)
         if world_space and scale_mats is not None:
             s = np.asarray(scale_mats[0], np.float32)
             vertices = vertices * s[0, 0] + s[:3, 3][None]
         mesh_io.write_ply(
-            os.path.join(
-                self.base_exp_dir, "meshes", f"{self.iter_step:08d}.ply"
-            ),
+            os.path.join(self.base_exp_dir, "meshes", f"{it:08d}.ply"),
             vertices, triangles, vertex_colors=to8b(rgb_final),
         )
         return vertices, triangles, rgb_final
 
-    def _bake_vertex_colors(self, vertices: np.ndarray):
+    def _bake_vertex_colors(self, vertices: np.ndarray, params=None):
         """6-axis ray shooting with depth-consistency pick (main.py:858-913)."""
         n = vertices.shape[0]
         origins = [
             [0, 0, 2], [0, 0, -2], [0, 2, 0], [0, -2, 0], [2, 0, 0], [-2, 0, 0],
         ]
-        n_total = self.ncfg.n_samples + self.ncfg.n_importance
         rgb_final = None
         diff_final = None
         verts = jnp.asarray(vertices, jnp.float32)
@@ -1248,17 +1309,15 @@ class Runner:
             rays_d = rays_d / dist[:, None]
             out = self.render_rays_chunked(
                 rays_o, rays_d, None,
-                keys=["color_fine", "extra_color_fine", "weights", "mid_z_vals"],
+                keys=["color_fine", "extra_color_fine", "depth"],
+                params=params,
             )
             color = (
                 out["extra_color_fine"]
                 if self.extra_color and out["extra_color_fine"] is not None
                 else out["color_fine"]
             )
-            depth = (
-                out["mid_z_vals"][:, :n_total] * out["weights"][:, :n_total]
-            ).sum(axis=1)
-            depth_diff = np.abs(depth - np.asarray(dist))
+            depth_diff = np.abs(out["depth"] - np.asarray(dist))
             if rgb_final is None:
                 rgb_final = color.copy()
                 diff_final = depth_diff.copy()
@@ -1280,7 +1339,7 @@ class Runner:
         H, W = rays_o.shape[0], rays_o.shape[1]
         out = self.render_rays_chunked(
             rays_o.reshape(-1, 3), rays_d.reshape(-1, 3), None,
-            keys=["color_fine", "extra_color_fine", "weights", "gradients",
+            keys=["color_fine", "extra_color_fine", "normal_map_nomask",
                   "weight_sum"],
         )
         extra = (
@@ -1288,8 +1347,7 @@ class Runner:
             if out["extra_color_fine"] is not None
             else out["color_fine"]
         )
-        n_total = self.ncfg.n_samples + self.ncfg.n_importance
-        normals = (out["gradients"] * out["weights"][:, :n_total, None]).sum(1)
+        normals = out["normal_map_nomask"]
         normals = normals / (np.linalg.norm(normals, axis=-1, keepdims=True) + 1e-7)
         light = np.asarray(
             cameras.sphere_coord(
