@@ -176,6 +176,12 @@ def sdf_apply(
     return jnp.concatenate([x[..., :1] / cfg.scale, x[..., 1:]], axis=-1)
 
 
+# A/B hook for the importance-sweep kernel experiment
+# (scripts/perf_experiments.py sweep): when True, sdf_value routes through
+# the forward-only Pallas kernel on TPU instead of the XLA sweep.
+_SWEEP_KERNEL = False
+
+
 def sdf_value(params: Params, cfg: SDFConfig, pts: jnp.ndarray) -> jnp.ndarray:
     """sdf-only evaluation (importance sweeps, marching-cubes grids).
 
@@ -183,7 +189,12 @@ def sdf_value(params: Params, cfg: SDFConfig, pts: jnp.ndarray) -> jnp.ndarray:
     lean forward-only kernel (ops/fused_sdf.sdf_value_fused) REGRESSED the
     full step 172k -> 158k rays/s — the sliced-matmul XLA sweep fuses into
     the surrounding up-sample alpha math, and the kernel boundary breaks
-    those fusions (docs/PROFILE.md round-2 negative results)."""
+    those fusions (docs/PROFILE.md round-2 3b; re-measured at a block
+    ladder via scripts/perf_experiments.py sweep)."""
+    if _SWEEP_KERNEL and cfg.use_pallas and jax.default_backend() == "tpu":
+        from ..ops import fused_sdf
+
+        return fused_sdf.sdf_value_fused(params, cfg, pts)
     return sdf_apply(params, cfg, pts, sdf_only=True)
 
 

@@ -607,6 +607,12 @@ def _run_bwd(spec: FusedSDFSpec, weights: dict, pts, cs, cg, cf):
 # correctness guard, not a hot path).
 
 SDF_ONLY_BLOCK = 1024
+# block-size ladder hook (scripts/perf_experiments.py sweep); None = default
+_SDF_ONLY_BLOCK_OVERRIDE = None
+
+
+def _sdf_only_block() -> int:
+    return _SDF_ONLY_BLOCK_OVERRIDE or SDF_ONLY_BLOCK
 
 
 def _sdf_only_names(spec: FusedSDFSpec):
@@ -687,16 +693,17 @@ def _sdf_only_core(weights, pts, spec):
         return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                             memory_space=pltpu.VMEM)
 
+    BLOCK = _sdf_only_block()
     return pl.pallas_call(
         functools.partial(_sdf_only_kernel, spec),
-        grid=(P // SDF_ONLY_BLOCK,),
+        grid=(P // BLOCK,),
         in_specs=[
-            pl.BlockSpec((SDF_ONLY_BLOCK, 3), lambda i: (i, 0),
+            pl.BlockSpec((BLOCK, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
         ]
         + [full(c) for c in consts]
         + [full(w) for w in w_args],
-        out_specs=pl.BlockSpec((SDF_ONLY_BLOCK, 1), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((BLOCK, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((P, 1), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -731,7 +738,7 @@ def sdf_value_fused(params, cfg, pts):
         return nets.sdf_apply(params, cfg, pts, sdf_only=True)
     weights = dense_weights(params, spec)
     P = pts.shape[0]
-    pad = (-P) % SDF_ONLY_BLOCK
+    pad = (-P) % _sdf_only_block()
     if pad:
         pts = jnp.concatenate([pts, jnp.zeros((pad, 3), pts.dtype)], 0)
     out = _sdf_only_core(weights, pts.astype(jnp.float32), spec)

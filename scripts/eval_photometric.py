@@ -72,6 +72,9 @@ def main(argv=None):
     p.add_argument("--conf", default=None)
     p.add_argument("--views", type=int, nargs="*", default=[0, 27, 54, 81])
     p.add_argument("--res_level", type=float, default=1)
+    p.add_argument("--data_dir", default="zero_beta_standpose_render",
+                   help="dataset the run trained on (a shape-stage "
+                        "render_dir for the self-generated route)")
     args = p.parse_args(argv)
 
     import jax
@@ -96,6 +99,7 @@ def main(argv=None):
         spec.loader.exec_module(rrs)
         conf = config_mod.parse_string(rrs.PRETRAIN_CONF.format(
             exp=rrs.EXP_ROOT, iters=10**9, val_freq=10**9, val_mesh_freq=10**9,
+            data_dir=args.data_dir,
         ))
         conf.put("general.base_exp_dir", args.exp)
     runner = appearance.Runner(None, mode="eval", conf=conf)

@@ -116,6 +116,43 @@ def exp_width128(args):
     neus._MIN_KERNEL_WIDTH = 256
 
 
+def exp_sweep(args):
+    """Importance-sweep sdf evaluation: XLA sliced-matmul sweep vs the
+    forward-only Pallas kernel at a block ladder (VERDICT r3 #4a — the
+    round-2 negative predates width-scaled blocks and the round-3 glue
+    work; re-measure at tuned blocks on the full parity step)."""
+    import dataclasses
+
+    from avatarclip_tpu.fields import networks as nets
+    from avatarclip_tpu.ops import fused_sdf
+    from avatarclip_tpu.pipelines import synthetic
+
+    _setup_cache()
+    print("| sweep path | rays/s | ms/iter |")
+    print("|---|---|---|")
+    rows = [("xla", False, None)] + [
+        (f"kernel({b}-blk)", True, b) for b in (args.blocks or [1024, 2048])
+        if b
+    ]
+    for label, use_kernel, blk in rows:
+        nets._SWEEP_KERNEL = use_kernel
+        fused_sdf._SDF_ONLY_BLOCK_OVERRIDE = blk
+        with tempfile.TemporaryDirectory() as d:
+            with contextlib.redirect_stdout(sys.stderr):
+                runner = synthetic.make_runner(
+                    d, scale="full", res=256, n_views=4
+                )
+                runner.tc = dataclasses.replace(
+                    runner.tc, sil_buckets=(), silhouette_res=160
+                )
+                runner.init_clip()
+                runner.init_smpl()
+            rate, ms = _full_step_rate(runner, iters=args.iters)
+        print(f"| {label} | {rate:,.0f} | {ms:.1f} |")
+    nets._SWEEP_KERNEL = False
+    fused_sdf._SDF_ONLY_BLOCK_OVERRIDE = None
+
+
 def exp_raster(args):
     import jax
     import jax.numpy as jnp
@@ -231,12 +268,13 @@ def exp_kernels(args):
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("exp", choices=["megablock", "width128", "raster", "kernels"])
+    ap.add_argument("exp", choices=["megablock", "width128", "raster", "kernels", "sweep"])
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--blocks", type=int, nargs="*",
                     default=[0, 512, 1024, 2048, 4096])
     args = ap.parse_args()
     {
+        "sweep": exp_sweep,
         "megablock": exp_megablock,
         "width128": exp_width128,
         "raster": exp_raster,

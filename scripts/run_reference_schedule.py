@@ -533,6 +533,14 @@ def main(argv=None):
                    help="subset of pose/motion strategies to run")
     args = p.parse_args(argv)
 
+    # long chip runs through a flaky tunnel: SIGUSR2 dumps all stacks so a
+    # hung stage can be diagnosed without killing it
+    import faulthandler
+    import signal
+
+    faulthandler.enable()
+    faulthandler.register(signal.SIGUSR2, all_threads=True)
+
     if args.exp_root:
         global EXP_ROOT
         EXP_ROOT = os.path.abspath(args.exp_root)
