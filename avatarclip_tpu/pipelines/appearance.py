@@ -737,9 +737,20 @@ class Runner:
                     -(mask * jnp.log(wsc) + (1 - mask) * jnp.log(1 - wsc))
                 )
 
+                # Both CLIP views (textured + no-texture shading) ride ONE
+                # batched ViT forward: batch-2 keeps every matmul on the MXU
+                # at twice the arithmetic intensity of two batch-1 encodes
+                # and halves the per-encode layernorm/attention glue. Rows
+                # are independent in the ViT, so per-image embeddings match
+                # the two-call form.
                 clip_in = clip_model.resize_to_clip(
                     clip_src.reshape(1, S, S, 3), clip_cfg.image_size
                 )
+                if tc.add_no_texture:
+                    shade_in = clip_model.resize_to_clip(
+                        shade_dense.reshape(1, S, S, 3), clip_cfg.image_size
+                    )
+                    clip_in = jnp.concatenate([clip_in, shade_in], axis=0)
                 emb = clip_model.encode_image(
                     clip_params, clip_cfg, clip_model.normalize_image(clip_in)
                 )
@@ -760,15 +771,8 @@ class Runner:
                     "s_val": out["s_val"].mean(),
                 }
                 if tc.add_no_texture:
-                    shade_in = clip_model.resize_to_clip(
-                        shade_dense.reshape(1, S, S, 3), clip_cfg.image_size
-                    )
-                    emb2 = clip_model.encode_image(
-                        clip_params, clip_cfg,
-                        clip_model.normalize_image(shade_in),
-                    )
                     cosine_shading = clip_model.cosine_similarity(
-                        emb2[0], text_emb
+                        emb[1], text_emb
                     )
                     loss = loss + (1.0 - cosine_shading) * (tc.clip_weight or 0.0)
                     metrics["cosine_shading"] = cosine_shading
