@@ -1,0 +1,107 @@
+"""Defensible multi-chip wall-clock projection for the flagship sculpt
+(VERDICT r3 next #1c: "device rate x measured 8-way dryrun scaling
+assumptions, host overhead amortized").
+
+Nothing here is a simulation: every input is a committed measurement, and
+every scaling assumption is printed next to the number it produces.
+
+Inputs
+  --step-ms        measured single-chip device ms/step of the full
+                   train_clip parity step (bench.py / BENCH_r0N.json)
+  --inloop-its     measured in-loop it/s of the actual sculpt run
+                   (exp/<chain>/sculpt/logs/metrics.jsonl)
+  --iters          schedule length (reference main.py hard stop: 30,010)
+
+Scaling model (assumptions, in order of appearance in the table):
+  1. The step is ray/pixel-parallel except the CLIP encode: rays, samples,
+     GT raster pixels and dense-scatter images are batch-sharded over the
+     device mesh (parallel/mesh.py 'data' axis — the exact sharding
+     `__graft_entry__.dryrun_multichip` compiles and executes every round,
+     and whose 1-vs-8-device gradients are asserted equal in
+     tests/test_fused_neus.py). Per-device work at N=8 is ~100k points =
+     ~392 of the megakernel's 256-pt blocks, so kernel efficiency holds
+     (the grid is still deep); we still discount it (assumption 3).
+  2. The CLIP ViT encode scores ONE 224^2 image pair regardless of N — it
+     is replicated, not sharded: a fixed per-step floor.
+  3. Collectives: one psum over ~1.5M trainable floats (6 MB) per step on
+     ICI, plus shard_map boundary glue — charged at 0.4 ms/step at N=8
+     (2x a v4 ICI all-reduce of that size at 100 GB/s, rounding up), and
+     a further 10% efficiency discount on the sharded portion for
+     boundary effects we cannot measure on one chip.
+  4. Host overhead: THIS environment reaches the chip through a ~68 ms-RTT
+     tunnel; the measured in-loop/device gap (inputs above) is dominated
+     by that artifact. A v4-8 host is local; we charge the FULL measured
+     single-chip host gap per step un-shrunk (it does not grow with N).
+  5. Validation cadence: async (overlapped) since round 4; charged as the
+     measured wall-clock minus in-loop-rate-implied train time of the
+     round-4 sculpt run, un-shrunk.
+
+Usage:
+  python scripts/project_v48.py --step-ms 56.0 --inloop-its 16.2 \
+      --val-overhead-s 300 [--clip-ms 0.7]
+"""
+
+import argparse
+
+
+def project(step_ms, inloop_its, iters, clip_ms, val_overhead_s,
+            psum_ms=0.4, shard_discount=0.9):
+    device_its = 1000.0 / step_ms
+    host_gap_ms = max(0.0, 1000.0 / inloop_its - step_ms)
+    sharded_ms = step_ms - clip_ms
+    rows = []
+    for n in (1, 4, 8):
+        if n == 1:
+            dev_ms = step_ms
+            coll = 0.0
+        else:
+            dev_ms = sharded_ms / (n * shard_discount) + clip_ms
+            coll = psum_ms
+        # two brackets: additive (every step pays the host gap serially —
+        # what a fully synchronous loop would do) and pipelined (async
+        # dispatch overlaps host work with the device step; the loop runs
+        # at whichever side is slower). The measured round-4 in-loop rate
+        # tells us where between the two the real loop sits on one chip.
+        tot_add = dev_ms + coll + host_gap_ms
+        tot_pipe = max(dev_ms + coll, host_gap_ms)
+        wall_add = iters * tot_add / 1000.0 + val_overhead_s
+        wall_pipe = iters * tot_pipe / 1000.0 + val_overhead_s
+        rows.append((n, dev_ms, coll, host_gap_ms, 1000.0 / tot_add,
+                     wall_add / 60.0, 1000.0 / tot_pipe, wall_pipe / 60.0))
+    return device_its, host_gap_ms, rows
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--step-ms", type=float, required=True,
+                    help="measured device ms/step (bench.py)")
+    ap.add_argument("--inloop-its", type=float, required=True,
+                    help="measured sculpt in-loop it/s (metrics.jsonl)")
+    ap.add_argument("--iters", type=int, default=30010)
+    ap.add_argument("--clip-ms", type=float, default=0.7,
+                    help="CLIP encode ms in the step trace (PROFILE.md "
+                         "2026-08-17 end-state trace)")
+    ap.add_argument("--val-overhead-s", type=float, default=0.0,
+                    help="measured wall-clock spent outside the train loop "
+                         "(validations/checkpoint drain) for the full run")
+    args = ap.parse_args(argv)
+
+    device_its, host_gap_ms, rows = project(
+        args.step_ms, args.inloop_its, args.iters, args.clip_ms,
+        args.val_overhead_s,
+    )
+    print(f"single-chip device rate: {device_its:.1f} it/s "
+          f"({args.step_ms:.1f} ms/step); measured host gap "
+          f"{host_gap_ms:.1f} ms/step (tunnel artifact, charged un-shrunk)")
+    print()
+    print("| devices | device ms/step | collectives ms | host ms | "
+          "serial-host it/s | sculpt min (serial) | overlapped it/s | "
+          "sculpt min (overlapped) |")
+    print("|---|---|---|---|---|---|---|---|")
+    for n, dev, coll, host, its_a, min_a, its_p, min_p in rows:
+        print(f"| {n} | {dev:.1f} | {coll:.1f} | {host:.1f} | "
+              f"{its_a:.1f} | {min_a:.1f} | {its_p:.1f} | **{min_p:.1f}** |")
+
+
+if __name__ == "__main__":
+    main()

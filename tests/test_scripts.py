@@ -336,3 +336,31 @@ def test_schedule_pose_motion_sequencing(sched, tmp_path, monkeypatch):
     assert "motion_interpolation" in stages
     row = log[stages.index("pose_vposer_codebook")]
     assert row["n_candidates"] == 5 and row["clip_scores"] == [0.5] * 5
+
+
+# ---------------------------------------------------------------------------
+# project_v48: the v4-8 projection arithmetic
+# ---------------------------------------------------------------------------
+
+
+def test_project_v48_brackets_and_scaling():
+    mod = _load_script("project_v48")
+    step_ms, inloop, iters, clip_ms = 60.0, 12.5, 30010, 0.7
+    _, host_gap, rows = mod.project(step_ms, inloop, iters, clip_ms,
+                                    val_overhead_s=0.0)
+    # host gap = 1000/inloop - step_ms
+    assert abs(host_gap - (1000.0 / inloop - step_ms)) < 1e-9
+    by_n = {r[0]: r for r in rows}
+    # n=1 serial in-loop rate reproduces the measured in-loop rate exactly
+    assert abs(by_n[1][4] - inloop) < 1e-9
+    # sharded portion scales ~1/N (with the 10% discount), CLIP floor stays
+    dev1, dev8 = by_n[1][1], by_n[8][1]
+    assert abs(dev8 - ((step_ms - clip_ms) / (8 * 0.9) + clip_ms)) < 1e-9
+    assert dev8 > dev1 / 8  # the replicated CLIP floor is visible
+    # the overlapped bracket is never slower than the serial bracket
+    for r in rows:
+        assert r[7] <= r[5] + 1e-9
+    # wall-clock decreases monotonically with N (the overlapped bracket
+    # flattens once the loop becomes host-bound: non-strict there)
+    assert by_n[1][5] > by_n[4][5] > by_n[8][5]
+    assert by_n[1][7] >= by_n[4][7] >= by_n[8][7]
