@@ -101,7 +101,43 @@ def load_vae(path: str | None = None) -> tuple[Params, bool]:
             }, True
         except Exception:
             pass
-    return vae_init(jax.random.PRNGKey(16)), False
+    return vae_fallback_from_smpl(), False
+
+
+def vae_fallback_from_smpl(smpl_path: str | None = None) -> Params:
+    """Weights-free fallback whose decoder realizes the SMPL beta basis.
+
+    Without the trained ``model_VAE_16.pth``, the natural stand-in for the
+    16-d shape space is the body model's own ``shapedirs`` blend shapes:
+    ``decode(z) = v_template + blend_shapes(z[:B], shapedirs)`` exactly
+    (same additive-offset contract as reference ShapeGen/main.py:66-67), so
+    arbitrary codebook latents decode to anatomically valid bodies. A
+    random-init fallback is NOT usable here: uniform dense weights put
+    ~0.3 m of noise on every vertex and the "coarse body" renders as
+    exploded triangle soup (diagnosed on the round-4 self-generated chain).
+
+    The weights are a compact exact factorization of that linear map
+    (hidden = 16 instead of the trained net's 8192): dec1 = I, dec2 = the
+    flattened (V*3, B) basis zero-padded to 16 columns, all biases 0. The
+    encoder inverts it by pseudo-inverse (mu = shapedirs^+ @ offsets,
+    logvar = 0). With an approximate SMPL (zero shapedirs) every latent
+    decodes to the template body — still a valid mesh.
+    """
+    smpl = assets.load_smpl(smpl_path)
+    basis = np.asarray(smpl.shapedirs, np.float32).reshape(N_VERTS * 3, -1)
+    nb = min(basis.shape[1], LATENT_DIM)
+    dec2 = np.zeros((N_VERTS * 3, LATENT_DIM), np.float32)
+    dec2[:, :nb] = basis[:, :nb]
+    enc1 = np.zeros((2 * LATENT_DIM, N_VERTS * 3), np.float32)
+    enc1[:nb] = np.linalg.pinv(basis[:, :nb]).astype(np.float32)
+    z = lambda *s: jnp.zeros(s, jnp.float32)
+    return {
+        "enc1": {"w": jnp.asarray(enc1), "b": z(2 * LATENT_DIM)},
+        "enc2": {"w": jnp.eye(2 * LATENT_DIM, dtype=jnp.float32),
+                 "b": z(2 * LATENT_DIM)},
+        "dec1": {"w": jnp.eye(LATENT_DIM, dtype=jnp.float32), "b": z(LATENT_DIM)},
+        "dec2": {"w": jnp.asarray(dec2), "b": z(N_VERTS * 3)},
+    }
 
 
 def load_codebook(path: str | None = None):

@@ -28,6 +28,36 @@ def test_vae_decode_shapes():
     assert mu.shape == (2, 16)
 
 
+def test_fallback_vae_decodes_valid_bodies():
+    """Weights-free fallback must decode to anatomically valid meshes, not
+    random-init noise (round-4 regression: the random fallback put ~0.3 m
+    of noise per vertex and the whole self-generated chain trained on
+    exploded-triangle renders)."""
+    smpl = assets.load_smpl()
+    vae, pretrained = shape.load_vae()
+    if pretrained:
+        pytest.skip("real VAE weights present; fallback not in play")
+    vt = np.asarray(smpl.v_template)
+
+    # zero latent decodes to the template EXACTLY (decode is template+offsets)
+    v0 = np.asarray(shape.vae_decode(vae, smpl.v_template, jnp.zeros((1, 16))))
+    np.testing.assert_array_equal(v0[0], vt)
+
+    # random latents stay in a plausible body envelope: offsets bounded by
+    # the beta basis (zero for the approximate SMPL, <~15 cm/unit for real
+    # shapedirs), never the ~0.3 m-per-vertex noise of a random-init net
+    z = jax.random.normal(jax.random.PRNGKey(0), (4, 16))
+    v = np.asarray(shape.vae_decode(vae, smpl.v_template, z))
+    off = np.abs(v - vt[None]).max()
+    assert off <= 4.0 * max(1e-6, float(np.abs(np.asarray(smpl.shapedirs)).max()))
+
+    # encoder inverts the decoder on its own range (mu = basis^+ offsets)
+    mu, logvar = shape.vae_encode(vae, (v - vt[None]).reshape(4, -1))
+    rec = np.asarray(shape.vae_decode(vae, smpl.v_template, mu))
+    np.testing.assert_allclose(rec, v, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(logvar), 0.0)
+
+
 def test_shape_gen_retrieval(tmp_path):
     v, f, zero_v = shape.shape_gen(
         "a person", "a strong man", clip_size="tiny", render_res=64
