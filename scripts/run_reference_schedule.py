@@ -404,11 +404,13 @@ def stage_pose(args):
 
     ctx = animate.AnimateContext()
     outroot = os.path.join(EXP_ROOT, "animate", "pose")
+    # fastest-first so a wall-clock-bounded run (timeout ...) still lands
+    # the completed strategies' schedule rows before being cut off
     strategies = {
+        "vposer_codebook": ({"type": "VPoserCodebook"}, 1),
+        "vposer_realnvp": ({"type": "VPoserRealNVP"}, 50),  # scoring batches
         "pose_optimizer": ({"type": "PoseOptimizer"}, 500 * 5),
         "vposer_optimizer": ({"type": "VPoserOptimizer"}, 500 * 5),
-        "vposer_realnvp": ({"type": "VPoserRealNVP"}, 50),  # scoring batches
-        "vposer_codebook": ({"type": "VPoserCodebook"}, 1),
     }
     if args.strategy:
         strategies = {k: v for k, v in strategies.items()
