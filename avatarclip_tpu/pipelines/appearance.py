@@ -152,6 +152,14 @@ class TrainConfig:
     report_freq: int = 100
     val_freq: int = 100
     val_mesh_freq: int = 500
+    # Max pending async validations (running + queued). On overflow the
+    # OLDEST not-yet-started validations are cancelled (their params
+    # snapshots released); newest-wins because a fresher snapshot supersedes
+    # a stale one. Checkpoint saves are not in this queue (synchronous,
+    # _post_iter) and are never dropped. Round-4 flagship postmortem: the
+    # unbounded queue reached 215 pending renders (~43 min of serial drain)
+    # at 12 it/s train vs ~12 s/validation and the run had to be killed.
+    val_queue_cap: int = 2
     validate_resolution_level: int = 1
     silhouette_res: int = 0  # 0 => derived from max_ray_num
     # Adaptive silhouette resolution (reference dataset.py:252-275 semantics:
@@ -310,6 +318,7 @@ class Runner:
         self._metric_buf: list = []
         self._last_flushed: dict = {}
         self._val_futures: list = []
+        self._val_dropped = 0
 
         seed = conf.get_int("train.seed", 0) or 0
         self.key = jax.random.PRNGKey(seed)
@@ -1071,9 +1080,13 @@ class Runner:
     # overlaps training if the validation runs on a worker thread against a
     # SNAPSHOT of (params, iter_step): params are immutable jax arrays and
     # the train step does not donate them, so the snapshot stays valid while
-    # training advances. A single worker preserves validation order; the
-    # futures are drained (and their exceptions re-raised) at loop end and
-    # at every flush boundary overflow (bounded queue).
+    # training advances. A single worker preserves validation order. The
+    # queue is bounded at tc.val_queue_cap: when validations outlast the
+    # val_freq window, the oldest not-yet-started ones are cancelled
+    # (newest-snapshot-wins decimation) so the loop can never build an
+    # unbounded drain backlog; worker exceptions re-raise on the next
+    # submission or at the loop-end drain. Dropped submissions are counted
+    # in self._val_dropped and reported by _drain_validations.
 
     @functools.cached_property
     def _val_executor(self):
@@ -1087,17 +1100,38 @@ class Runner:
             return
         kw.setdefault("params", self.params)
         kw.setdefault("it", self.iter_step)
-        self._val_futures = [f for f in self._val_futures if not f.done()
-                             or f.exception() is not None]
+        pending = []
         for f in self._val_futures:
-            if f.done() and f.exception() is not None:
-                raise f.exception()
+            if f.done():
+                if not f.cancelled() and f.exception() is not None:
+                    raise f.exception()
+            else:
+                pending.append(f)
+        self._val_futures = pending
         self._val_futures.append(self._val_executor.submit(fn, **kw))
+        # bounded queue: decimate oldest cancellable (not-yet-started)
+        # submissions, never the one just submitted. With one worker at most
+        # one future is running, so len(_val_futures) <= max(cap, 2) always.
+        cap = max(1, self.tc.val_queue_cap)
+        i = 0
+        while len(self._val_futures) > cap and i < len(self._val_futures) - 1:
+            if self._val_futures[i].cancel():
+                self._val_futures.pop(i)
+                self._val_dropped += 1
+            else:
+                i += 1
 
     def _drain_validations(self):
         futs, self._val_futures = self._val_futures, []
         for f in futs:
-            f.result()  # re-raises worker exceptions
+            if not f.cancelled():
+                f.result()  # re-raises worker exceptions
+        if self._val_dropped:
+            print(
+                f"[val] decimated {self._val_dropped} stale pending "
+                f"validation(s) (val_queue_cap={self.tc.val_queue_cap})"
+            )
+            self._val_dropped = 0
 
     def _flush_metrics(self):
         """Drain the buffered (iter, device-metrics) records with a single

@@ -440,8 +440,18 @@ def _soft_core(
         return (sil_prod, num, den), None
 
     init = (jnp.ones((P,)), jnp.zeros((P, 3)), jnp.zeros((P,)))
+    # The scan body is rematerialized in the backward: without jax.checkpoint
+    # autodiff saves ~7 (P, chunk) residual tensors PER STEP across the whole
+    # scan — O(P x F) per view, a 135.29 GB HBM program at the pose/motion
+    # optimizers' reference scale (5 views x 224^2, found round 4,
+    # docs/VALIDATION.md). Checkpointing saves only the O(P) carries per step
+    # and recomputes the chunk's edge matmul + sigmoid in the backward —
+    # peak memory O(P x chunk), cost one extra tiny (P,3)@(3,4*chunk) matmul
+    # per chunk. Guard test: tests/test_raster.py
+    # test_soft_backward_memory_is_chunk_bounded.
     (sil_prod, num, den), _ = jax.lax.scan(
-        body, init, (coef_chunks, valid_chunks, scale_chunks, iz_chunks, col_chunks)
+        jax.checkpoint(body),
+        init, (coef_chunks, valid_chunks, scale_chunks, iz_chunks, col_chunks)
     )
     silhouette = 1.0 - sil_prod
     w_bg = jnp.exp(jnp.asarray(0.0) / gamma)  # background at inv_z = 0

@@ -134,23 +134,27 @@ def exp_sweep(args):
         (f"kernel({b}-blk)", True, b) for b in (args.blocks or [1024, 2048])
         if b
     ]
-    for label, use_kernel, blk in rows:
-        nets._SWEEP_KERNEL = use_kernel
-        fused_sdf._SDF_ONLY_BLOCK_OVERRIDE = blk
-        with tempfile.TemporaryDirectory() as d:
-            with contextlib.redirect_stdout(sys.stderr):
-                runner = synthetic.make_runner(
-                    d, scale="full", res=256, n_views=4
-                )
-                runner.tc = dataclasses.replace(
-                    runner.tc, sil_buckets=(), silhouette_res=160
-                )
-                runner.init_clip()
-                runner.init_smpl()
-            rate, ms = _full_step_rate(runner, iters=args.iters)
-        print(f"| {label} | {rate:,.0f} | {ms:.1f} |")
-    nets._SWEEP_KERNEL = False
-    fused_sdf._SDF_ONLY_BLOCK_OVERRIDE = None
+    try:
+        for label, use_kernel, blk in rows:
+            nets._SWEEP_KERNEL = use_kernel
+            fused_sdf._SDF_ONLY_BLOCK_OVERRIDE = blk
+            with tempfile.TemporaryDirectory() as d:
+                with contextlib.redirect_stdout(sys.stderr):
+                    runner = synthetic.make_runner(
+                        d, scale="full", res=256, n_views=4
+                    )
+                    runner.tc = dataclasses.replace(
+                        runner.tc, sil_buckets=(), silhouette_res=160
+                    )
+                    runner.init_clip()
+                    runner.init_smpl()
+                rate, ms = _full_step_rate(runner, iters=args.iters)
+            print(f"| {label} | {rate:,.0f} | {ms:.1f} |")
+    finally:
+        # an exception mid-ladder must not leave the experimental sweep
+        # route enabled process-wide (ADVICE r4)
+        nets._SWEEP_KERNEL = False
+        fused_sdf._SDF_ONLY_BLOCK_OVERRIDE = None
 
 
 def exp_raster(args):

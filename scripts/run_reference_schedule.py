@@ -457,9 +457,16 @@ def stage_motion(args):
     ctx = animate.AnimateContext()
     cand_dir = os.path.join(EXP_ROOT, "animate", "pose", "vposer_codebook")
     if os.path.isdir(cand_dir):
+        # numeric sort: candidate_10.npy must rank AFTER candidate_2.npy —
+        # MotionOptimizer's rank-weighted recon_coef depends on this order
+        # (ADVICE r4: lexicographic sorted() scrambles it at >= 10 candidates)
+        cand_files = sorted(
+            (f for f in os.listdir(cand_dir)
+             if f.startswith("candidate_") and f.endswith(".npy")),
+            key=lambda f: int(f.split("_")[1].split(".")[0]),
+        )
         poses = np.stack([
-            np.load(os.path.join(cand_dir, f))
-            for f in sorted(os.listdir(cand_dir)) if f.endswith(".npy")
+            np.load(os.path.join(cand_dir, f)) for f in cand_files
         ])
     else:
         gen = animate.build_pose_generator({"type": "VPoserCodebook"}, ctx=ctx)

@@ -428,3 +428,54 @@ def test_async_validation_overlaps_and_drains(tiny_dataset, tmp_path):
     r2.validate_image = boom
     with pytest.raises(RuntimeError, match="validation failed"):
         r2.train()
+
+
+def test_async_validation_queue_is_bounded(tiny_dataset, tmp_path):
+    """Regression for the round-4 flagship kill: a validation slower than the
+    val_freq window must NOT grow the future queue without bound (215 pending
+    renders / ~43 min drain backlog). Oldest not-yet-started submissions are
+    decimated newest-wins at tc.val_queue_cap; the drain at loop end then has
+    at most cap entries to wait for."""
+    import dataclasses
+    import threading
+    import time
+
+    conf = config_mod.parse_string(
+        TINY_CONF.format(exp_dir=str(tmp_path / "exp"), data_dir=tiny_dataset)
+    )
+    r = appearance.Runner(None, mode="none", conf=conf)
+    r.tc = dataclasses.replace(
+        r.tc, end_iter=24, val_freq=1, val_mesh_freq=10**9, save_freq=10**9,
+        val_queue_cap=2,
+    )
+    assert r.tc.async_validation
+
+    ran = []
+    gate = threading.Event()
+
+    def slow_validate(idx=-1, params=None, it=None):
+        # slower than the per-iteration submit cadence until released
+        if not gate.is_set():
+            time.sleep(0.05)
+        ran.append(it)
+
+    r.validate_image = slow_validate
+    max_seen = 0
+    orig = r._submit_validation
+
+    def tracking_submit(fn, **kw):
+        nonlocal max_seen
+        orig(fn, **kw)
+        max_seen = max(max_seen, len(r._val_futures))
+
+    r._submit_validation = tracking_submit
+    r.train()
+    gate.set()
+
+    assert not r._val_futures  # drained
+    assert max_seen <= 2, f"queue grew to {max_seen} despite cap=2"
+    assert r._val_dropped == 0  # reset after the drain report
+    assert len(ran) >= 2  # at least first-submitted and a survivor ran
+    assert 24 in ran, "the newest validation must survive decimation"
+    # decimation must actually have dropped the mid-run backlog
+    assert len(ran) < 24
