@@ -236,6 +236,11 @@ class BasePoseGenerator:
         self.name = name
         self.topk = topk
         self.ctx = ctx or AnimateContext(smpl_path, vposer_path, **kwargs)
+        # compile-vs-steady split, filled by the step loops: first_step_s is
+        # the very first jitted-step dispatch+fetch (includes XLA compile),
+        # steady_s/steady_steps cover everything after it. Chip schedule rows
+        # report both so no committed rate is compile-dominated unlabeled.
+        self.timing: dict = {}
 
     def get_topk_poses(self, text: str):
         raise NotImplementedError
@@ -294,13 +299,33 @@ class _OptimizerPoseGenerator(BasePoseGenerator):
         raise NotImplementedError
 
     def get_pose(self, text_feature, key):
+        import time as _time
+
         k1, key = jax.random.split(key)
         var = self._init_var(k1)
         opt = self._make_opt()
         opt_state = opt.init(var)
-        for _ in range(self.num_iteration):
+        t0 = _time.perf_counter()
+        n_steady = self.num_iteration
+        loss = None
+        for i in range(self.num_iteration):
             key, k = jax.random.split(key)
             var, opt_state, loss = self._step(var, opt_state, text_feature, k)
+            if i == 0 and "first_step_s" not in self.timing:
+                # hard value fetch as the timing barrier (block_until_ready
+                # returns early through the remote-chip tunnel)
+                float(loss)
+                self.timing["first_step_s"] = _time.perf_counter() - t0
+                t0 = _time.perf_counter()
+                n_steady -= 1
+        if loss is not None and n_steady > 0:
+            float(loss)
+            self.timing["steady_s"] = (
+                self.timing.get("steady_s", 0.0) + _time.perf_counter() - t0
+            )
+            self.timing["steady_steps"] = (
+                self.timing.get("steady_steps", 0) + n_steady
+            )
         return pose_padding(self._decode(var)[0])
 
     def get_topk_poses(self, text: str):
@@ -437,8 +462,12 @@ class VPoserRealNVP(BasePoseGenerator):
         return z, log_det
 
     def get_pose(self, text_feature, key):
+        import time as _time
+
         best_pose, best_score = None, -np.inf
         tf = text_feature[None]
+        t0 = _time.perf_counter()
+        n_steady = self.num_batch
         for i in range(self.num_batch):
             key, k1, k2 = jax.random.split(key, 3)
             z = jax.random.normal(k1, (self.num_sample, self.dim))
@@ -448,10 +477,22 @@ class VPoserRealNVP(BasePoseGenerator):
             poses = vposer_mod.decode(self.ctx.vposer, latents)
             pf = self.ctx.get_pose_feature(poses, key=k2)
             scores = np.asarray(clip_model.cosine_similarity(pf, tf))
+            if i == 0 and "first_step_s" not in self.timing:
+                # the score fetch above already synced the batch
+                self.timing["first_step_s"] = _time.perf_counter() - t0
+                t0 = _time.perf_counter()
+                n_steady -= 1
             idx = int(np.argmax(scores))
             if scores[idx] > best_score:
                 best_score = float(scores[idx])
                 best_pose = poses[idx]
+        if n_steady > 0:
+            self.timing["steady_s"] = (
+                self.timing.get("steady_s", 0.0) + _time.perf_counter() - t0
+            )
+            self.timing["steady_steps"] = (
+                self.timing.get("steady_steps", 0) + n_steady
+            )
         return pose_padding(best_pose)
 
     def get_topk_poses(self, text: str):
@@ -545,6 +586,7 @@ class BaseMotionGenerator:
         self.name = name
         self.num_frame = num_frame
         self.ctx = ctx or AnimateContext(smpl_path, vposer_path, **kwargs)
+        self.timing: dict = {}  # compile-vs-steady split (BasePoseGenerator)
 
     def get_motion(self, text: str, poses):
         raise NotImplementedError
@@ -697,11 +739,29 @@ class MotionOptimizer(BaseMotionGenerator):
         latent = jax.random.normal(k, (self.cfg.latent_dim,))
         opt = optax.adam(self.optim_cfg.get("lr", 0.01))
         opt_state = opt.init(latent)
+        import time as _time
+
+        t0 = _time.perf_counter()
+        n_steady = self.num_iteration
+        loss = None
         for i in range(self.num_iteration):
             key, k = jax.random.split(key)
             st = jax.random.randint(k, (), 0, self.clip_num_part)
             latent, opt_state, loss = self._step(
                 latent, opt_state, poses, tf, st, k
+            )
+            if i == 0 and "first_step_s" not in self.timing:
+                float(loss)  # hard fetch: reliable barrier over the tunnel
+                self.timing["first_step_s"] = _time.perf_counter() - t0
+                t0 = _time.perf_counter()
+                n_steady -= 1
+        if loss is not None and n_steady > 0:
+            float(loss)
+            self.timing["steady_s"] = (
+                self.timing.get("steady_s", 0.0) + _time.perf_counter() - t0
+            )
+            self.timing["steady_steps"] = (
+                self.timing.get("steady_steps", 0) + n_steady
             )
         motion = self.decode(latent)
         return pose_padding(motion)

@@ -53,7 +53,15 @@ def project_vertices(
     renders line up pixel-for-pixel."""
     R = pose[:3, :3]
     t = pose[:3, 3]
-    v_cam = (vertices - t) @ R  # R^T (v - t)
+    # HIGHEST precision: on TPU a default-precision (V,3)x(3,3) matmul runs
+    # through bf16 passes and puts ~0.1-1 px of error on every screen
+    # coordinate — at soft-raster sigma 0.5 that flips boundary sigmoids and
+    # was measured perturbing downstream soft gradients by >100x vs CPU
+    # (docs/PROFILE.md round 5). K=3, so full f32 is free.
+    v_cam = jax.lax.dot_general(
+        vertices - t, R, dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # R^T (v - t)
     depth = -v_cam[:, 2]
     in_front = depth > 1e-6
     safe_depth = jnp.where(in_front, depth, 1.0)
@@ -423,9 +431,16 @@ def _soft_core(
     def body(carry, inp):
         sil_prod, num, den = carry
         coef_c, valid_c, scale_c, izf, colf = inp
-        vals = (pix @ coef_c.transpose(1, 0, 2).reshape(3, chunk * 4)).reshape(
-            P, chunk, 4
-        )
+        # HIGHEST precision, K=3 so full f32 is free: a default-precision
+        # (P,3)x(3,4*chunk) matmul runs bf16 passes on TPU and puts ~0.1-1 px
+        # of error on every edge distance — at sigma 0.5 that flips boundary
+        # sigmoids (measured chip-XLA grad relnorm 290 / cos -0.09 vs CPU at
+        # 224^2 x 13.8k faces; docs/PROFILE.md round 5).
+        vals = jax.lax.dot_general(
+            pix, coef_c.transpose(1, 0, 2).reshape(3, chunk * 4),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(P, chunk, 4)
         bary = vals[..., :3]  # normalized edge values (inside => all >= 0)
         # signed pixel distance to the triangle ~ min over edges of
         # (bary * 2*area / edge_len)
@@ -435,7 +450,9 @@ def _soft_core(
         sil_prod = sil_prod * jnp.prod(1.0 - prob, axis=1)
 
         w = prob * jnp.exp(jnp.clip(izf[None] / gamma, -60.0, 60.0))
-        num = num + jnp.einsum("pf,fc->pc", w, colf)
+        num = num + jnp.einsum(
+            "pf,fc->pc", w, colf, precision=jax.lax.Precision.HIGHEST
+        )
         den = den + jnp.sum(w, axis=1)
         return (sil_prod, num, den), None
 
@@ -474,6 +491,8 @@ def soft_render_mesh(
     gamma: float = 0.005,
     background: float = 0.0,
     chunk: int = 1024,
+    use_kernel: bool | None = None,
+    interpret: bool = False,
 ):
     """Differentiable SoftRas-style render -> dict(rgb, silhouette).
 
@@ -481,6 +500,11 @@ def soft_render_mesh(
     depth softmax; used by PoseOptimizer/VPoserOptimizer which differentiate
     the CLIP score through the renderer (pose_generation.py:120-127).
     ``sigma`` is in pixels; ``gamma`` tempers depth blending.
+
+    On TPU the (pixel x face) aggregation runs as the fused Pallas kernel
+    pair (ops/fused_soft.py: tile-culled forward + transposed-grid custom
+    VJP — the XLA scan backward alone was 232 ms/view at 224^2 on v5e);
+    elsewhere the checkpointed-scan XLA path (_soft_core) is used.
     """
     faces = jnp.asarray(faces, jnp.int32)
     F = faces.shape[0]
@@ -511,6 +535,25 @@ def soft_render_mesh(
     iz_face = (
         proj.inv_z[faces[:, 0]] + proj.inv_z[faces[:, 1]] + proj.inv_z[faces[:, 2]]
     ) / 3.0
+
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu"
+    if use_kernel:
+        from ..ops import fused_soft
+
+        sil_prod, num, den = fused_soft.soft_aggregate(
+            coef, valid, edge_inv_len, iz_face, colors_face,
+            H, W, sigma, gamma,
+            face_sx=proj.sx[faces], face_sy=proj.sy[faces],
+            interpret=interpret,
+        )
+        eps = 1e-20
+        w_bg = jnp.exp(jnp.asarray(0.0) / gamma)  # background at inv_z = 0
+        rgb = (num + w_bg * background) / (den[:, None] + w_bg + eps)
+        return {
+            "rgb": rgb.reshape(H, W, 3),
+            "silhouette": (1.0 - sil_prod).reshape(H, W),
+        }
 
     pix = _pixel_matrix(H, W)
     rgb, sil = _soft_core(

