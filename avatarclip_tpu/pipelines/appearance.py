@@ -25,6 +25,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import os
+import threading
 from typing import Any
 
 import numpy as np
@@ -1092,7 +1093,25 @@ class Runner:
     def _val_executor(self):
         from concurrent.futures import ThreadPoolExecutor
 
-        return ThreadPoolExecutor(max_workers=1, thread_name_prefix="val")
+        def _deprioritize():
+            # The train loop's host side is ~3 ms/step and fully hides
+            # under the ~57 ms device step on an IDLE host (in-loop
+            # 17.7 it/s == device rate, docs/PROFILE.md round 5) — the
+            # round-4 flagship's 12-vs-16.9 it/s in-loop deficit was CPU
+            # contention from this worker's marching-cubes/PNG work
+            # stealing the dispatch thread, not serial dispatch. Nice the
+            # worker so the dispatch thread always wins the core.
+            try:
+                os.setpriority(
+                    os.PRIO_PROCESS, threading.get_native_id(), 10
+                )
+            except (OSError, AttributeError):  # non-Linux / no permission
+                pass
+
+        return ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="val",
+            initializer=_deprioritize,
+        )
 
     def _submit_validation(self, fn, **kw):
         if not self.tc.async_validation:

@@ -32,6 +32,12 @@ Scaling model (assumptions, in order of appearance in the table):
      tunnel; the measured in-loop/device gap (inputs above) is dominated
      by that artifact. A v4-8 host is local; we charge the FULL measured
      single-chip host gap per step un-shrunk (it does not grow with N).
+     The "overlapped" column is a MEASURED regime, not an aspiration:
+     round-5 phase decomposition (docs/PROFILE.md) shows the loop's host
+     side is ~3 ms/step and fully hides under the device step on an idle
+     host — in-loop 17.7 it/s == the device rate. Larger in-loop gaps in
+     full runs are host CPU contention (the async validation worker,
+     since niced below the dispatch thread), not serial dispatch.
   5. Validation cadence: async (overlapped) since round 4; charged as the
      measured wall-clock minus in-loop-rate-implied train time of the
      round-4 sculpt run, un-shrunk.
