@@ -63,10 +63,18 @@ TBLOCK = TILE_H * TILE_W  # pixels per tile block
 FBLOCK_T = 512  # faces per block in the tiled kernel (finer = better culling)
 
 
-def _select_update(b0, b1, b2, iz, vmask, fid0, iz_ref, fid_ref):
+def _select_update(b0, b1, b2, iz, vmask, fid0, iz_ref, fid_ref,
+                   bary_refs=None):
     """Per-(pixel-block, face-block) winner update: lexicographic max of
     (exact f32 inverse depth, global face id) against the running pair in the
-    revisited output refs. Background sentinel: (-1.0, -1)."""
+    revisited output refs. Background sentinel: (-1.0, -1).
+
+    With ``bary_refs`` (3 revisited (PB, 1) f32 refs) the winner's oriented
+    barycentrics are carried out of the kernel too — they are already
+    computed here for the inside test, so carrying them replaces the
+    (P, 3, 4) coef gather + einsum recompute in raster._winner_outputs
+    (the "winner gather/bary recompute" glue, docs/PROFILE.md round-3 end
+    state) with three masked reduces per executed (tile, face-block) pair."""
     inside = (
         (b0 >= 0.0) & (b1 >= 0.0) & (b2 >= 0.0) & (iz > 0.0) & (vmask > 0)
     )
@@ -81,6 +89,12 @@ def _select_update(b0, b1, b2, iz, vmask, fid0, iz_ref, fid_ref):
     take = (best_iz > cur_iz) | ((best_iz == cur_iz) & (best_fid > cur_fid))
     iz_ref[...] = jnp.where(take, best_iz, cur_iz)
     fid_ref[...] = jnp.where(take, best_fid, cur_fid)
+    if bary_refs is not None:
+        # winner column = the (unique) global face id reaching best_fid
+        colmask = (fid == best_fid) & inside
+        for b, ref in zip((b0, b1, b2), bary_refs):
+            bw = jnp.sum(jnp.where(colmask, b, 0.0), axis=1, keepdims=True)
+            ref[...] = jnp.where(take, bw, ref[...])
 
 
 def _zbuffer_kernel(c0_ref, c1_ref, c2_ref, cz_ref, vmask_ref, pix_ref,
@@ -240,7 +254,7 @@ def analytic_flops_tiled(kept_pairs: int) -> float:
 
 
 def _zbuffer_kernel_tiled(n_fb, tab_ref, c0_ref, c1_ref, c2_ref, cz_ref,
-                          vmask_ref, pix_ref, iz_ref, fid_ref):
+                          vmask_ref, pix_ref, iz_ref, fid_ref, *bary_refs):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -248,6 +262,8 @@ def _zbuffer_kernel_tiled(n_fb, tab_ref, c0_ref, c1_ref, c2_ref, cz_ref,
     def _init():
         iz_ref[...] = jnp.full_like(iz_ref, -1.0)
         fid_ref[...] = jnp.full_like(fid_ref, -1)
+        for ref in bary_refs:
+            ref[...] = jnp.zeros_like(ref)
 
     @pl.when(tab_ref[i * n_fb + j] > 0)
     def _work():
@@ -262,7 +278,8 @@ def _zbuffer_kernel_tiled(n_fb, tab_ref, c0_ref, c1_ref, c2_ref, cz_ref,
         b2 = dot(pix, c2_ref[...])
         iz = dot(pix, cz_ref[...])
         _select_update(
-            b0, b1, b2, iz, vmask_ref[...], j * FBLOCK_T, iz_ref, fid_ref
+            b0, b1, b2, iz, vmask_ref[...], j * FBLOCK_T, iz_ref, fid_ref,
+            bary_refs=bary_refs or None,
         )
 
 
@@ -274,13 +291,17 @@ def zbuffer_select_tiled(
     H: int,
     W: int,
     interpret: bool = False,
+    carry_bary: bool = False,
 ):
     """Winner selection with 2-D tile / face-block bbox culling.
 
     Produces EXACTLY the winners of `zbuffer_select` on the row-major pixel
     lattice of an (H, W) image (same exact-f32 ordering, same tie-break);
     only the empty (tile, face-block) pairs are skipped. Returns best_face
-    (H*W,) int32 with -1 = background."""
+    (H*W,) int32 with -1 = background; with ``carry_bary`` returns
+    (best_face, bary (H*W, 3) un-normalized oriented barycentrics of the
+    winner, iz (H*W,) exact f32 inverse depth, -1.0 at background) so the
+    caller can skip the coef re-gather (raster._winner_outputs)."""
     # overlap_table pads its own face inputs; pad only the kernel operands
     tab, n_tiles, n_fb = overlap_table(valid, face_sx, face_sy, H, W)
     F = coef.shape[0]
@@ -311,6 +332,9 @@ def zbuffer_select_tiled(
     c0, c1, c2, cz = (ct[..., k].astype(jnp.float32) for k in range(4))
     vmask = valid.astype(jnp.int32).reshape(1, Fp)
 
+    n_out = 5 if carry_bary else 2
+    out_spec = pl.BlockSpec((TBLOCK, 1), lambda i, j, t: (i, 0),
+                            memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles, n_fb),
@@ -328,19 +352,15 @@ def zbuffer_select_tiled(
             pl.BlockSpec((TBLOCK, 3), lambda i, j, t: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((TBLOCK, 1), lambda i, j, t: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TBLOCK, 1), lambda i, j, t: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_specs=tuple(out_spec for _ in range(n_out)),
     )
+    out_dtypes = [jnp.float32, jnp.int32] + [jnp.float32] * (n_out - 2)
     out = pl.pallas_call(
         functools.partial(_zbuffer_kernel_tiled, n_fb),
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((n_tiles * TBLOCK, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles * TBLOCK, 1), jnp.int32),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((n_tiles * TBLOCK, 1), dt)
+            for dt in out_dtypes
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -350,10 +370,15 @@ def zbuffer_select_tiled(
     )(tab, c0, c1, c2, cz, vmask, pix)
 
     # un-permute tiles -> row-major image, crop padding
-    return (
-        out[1]
-        .reshape(n_ty, n_tx, TILE_H, TILE_W)
-        .transpose(0, 2, 1, 3)
-        .reshape(Hp, Wp)[:H, :W]
-        .reshape(-1)
-    )
+    def unpermute(a):
+        return (
+            a.reshape(n_ty, n_tx, TILE_H, TILE_W)
+            .transpose(0, 2, 1, 3)
+            .reshape(Hp, Wp)[:H, :W]
+            .reshape(-1)
+        )
+
+    if not carry_bary:
+        return unpermute(out[1])
+    bary = jnp.stack([unpermute(out[k]) for k in (2, 3, 4)], axis=-1)
+    return unpermute(out[1]), bary, unpermute(out[0])

@@ -445,6 +445,12 @@ class Runner:
         self._template_normals = raster.vertex_normals(
             v_world, jnp.asarray(self._template[1])
         )
+        # per-face corner normals, also step-invariant: with these the GT
+        # render's normal path costs ONE P-level row gather per step
+        # (render_mesh face_normals=)
+        self._template_face_normals = self._template_normals[
+            jnp.asarray(self._template[1])
+        ]
 
     # -- training steps ---------------------------------------------------
 
@@ -546,6 +552,7 @@ class Runner:
             "texts": self._encoded_texts,
             "template_v": template_v_host,
             "template_n": self._template_normals,
+            "template_fn": self._template_face_normals,
         }
         template_f = jnp.asarray(template_f)
 
@@ -575,6 +582,7 @@ class Runner:
             gt = raster.render_mesh(
                 template_v, template_f, pose, GT, GT, focal_gt, chunk=2048,
                 normals=const["template_n"],
+                face_normals=const["template_fn"],
             )
             if GT == S:
                 gt_rgb = jax.lax.stop_gradient(gt["rgb"])

@@ -147,7 +147,17 @@ def _pixel_matrix(H: int, W: int) -> jnp.ndarray:
     )  # (P, 3)
 
 
-@functools.partial(jax.jit, static_argnames=("H", "W", "chunk", "use_kernel"))
+# A/B toggle (scripts/perf_experiments.py exp_glue): when True, the tiled
+# z-buffer kernel carries the winner's barycentrics + exact inverse depth
+# out of the kernel (ops/raster_zbuffer._select_update bary_refs), removing
+# the (P, 3, 4) coef gather + einsum recompute of _winner_outputs from the
+# step. Trace-time constant: toggling it only affects NEWLY traced steps.
+_CARRY_BARY = False
+
+
+@functools.partial(
+    jax.jit, static_argnames=("H", "W", "chunk", "use_kernel", "carry_bary")
+)
 def rasterize(
     proj_sx, proj_sy, proj_inv_z, proj_front,
     faces: jnp.ndarray,  # (F, 3) padded to multiple of chunk
@@ -156,6 +166,7 @@ def rasterize(
     W: int,
     chunk: int = 2048,
     use_kernel: bool | None = None,
+    carry_bary: bool | None = None,
 ):
     """Hard z-buffer pass. Returns (face_id (P,) int32 [-1 = background],
     bary (P, 3), inv_z (P,)).
@@ -179,10 +190,21 @@ def rasterize(
 
     if use_kernel is None:
         use_kernel = jax.default_backend() == "tpu"
+    if carry_bary is None:
+        carry_bary = _CARRY_BARY
     if use_kernel:
         from ..ops import raster_zbuffer
 
         # tiled kernel: same winners, empty (tile, face-block) pairs skipped
+        if carry_bary:
+            best_face, kbary, kiz = raster_zbuffer.zbuffer_select_tiled(
+                coef, valid, proj.sx[faces], proj.sy[faces], H, W,
+                carry_bary=True,
+            )
+            hit = best_face >= 0
+            bary = jnp.clip(kbary, 0.0, 1.0)
+            bary = bary / jnp.maximum(bary.sum(-1, keepdims=True), 1e-12)
+            return best_face, bary, jnp.where(hit, kiz, 0.0)
         best_face = raster_zbuffer.zbuffer_select_tiled(
             coef, valid, proj.sx[faces], proj.sy[faces], H, W
         )
@@ -343,6 +365,7 @@ def render_mesh(
     face_uvs: jnp.ndarray | None = None,  # (F, 3, 2) per-corner uv in [0,1]
     texture: jnp.ndarray | None = None,  # (Ht, Wt, 3) sampled bilinearly
     normals: jnp.ndarray | None = None,  # (V, 3) precomputed vertex_normals
+    face_normals: jnp.ndarray | None = None,  # (F, 3, 3) normals[faces]
 ):
     """Shaded hard rasterization -> dict(rgb (H,W,3), mask (H,W), depth (H,W)).
 
@@ -365,12 +388,26 @@ def render_mesh(
     hit = face_id >= 0
     fid = jnp.where(hit, face_id, 0)
 
-    if normals is None:
-        # static meshes rendered every step (the GT template) should pass
-        # precomputed normals: the 3-way scatter repeats identically per call
-        normals = vertex_normals(vertices, faces)
-    tri = faces[fid]  # (P, 3)
-    n_pix = jnp.einsum("pb,pbc->pc", bary, normals[tri])
+    # Per-face corner attributes gathered ONCE at F-level, then one P-level
+    # row gather per pixel — replaces the legacy two-level gather
+    # (tri = faces[fid]; normals[tri]: a (P, 3) index fetch plus a (P, 3, 3)
+    # three-index gather). Same values, strictly fewer gathered rows
+    # (F=13.8k vs P=65.5k on the GT template). Static meshes rendered every
+    # step should pass `face_normals` precomputed so even the F-level
+    # gather leaves the step (appearance.py const["template_fn"]).
+    if face_normals is None:
+        if normals is None:
+            # static meshes rendered every step (the GT template) should
+            # pass precomputed normals: the 3-way scatter repeats
+            # identically per call
+            normals = vertex_normals(vertices, faces)
+        face_normals = normals[faces]  # (F, 3, 3)
+    elif face_normals.shape[0] != faces.shape[0]:  # pad to face padding
+        face_normals = jnp.concatenate(
+            [face_normals,
+             jnp.zeros((faces.shape[0] - face_normals.shape[0], 3, 3))], 0
+        )
+    n_pix = jnp.einsum("pb,pbc->pc", bary, face_normals[fid])
     n_pix = n_pix / jnp.maximum(
         jnp.linalg.norm(n_pix, axis=-1, keepdims=True), 1e-12
     )
@@ -393,12 +430,15 @@ def render_mesh(
             )
         uv = jnp.einsum("pb,pbc->pc", bary, fuv[fid])  # (P, 2)
         c_pix = _sample_texture(texture, uv)
+    elif vertex_colors is None:
+        # white template: einsum(bary, ones) == bary.sum — the gather and
+        # the dot vanish, values exactly equal (bary sums to ~1 post-norm)
+        c_pix = jnp.broadcast_to(
+            bary.sum(-1, keepdims=True), (bary.shape[0], 3)
+        )
     else:
-        if vertex_colors is None:
-            base = jnp.ones((vertices.shape[0], 3))
-        else:
-            base = vertex_colors
-        c_pix = jnp.einsum("pb,pbc->pc", bary, base[tri])
+        face_colors = vertex_colors[faces]  # (F, 3, 3), one F-level gather
+        c_pix = jnp.einsum("pb,pbc->pc", bary, face_colors[fid])
     rgb = jnp.clip(c_pix * shade[:, None], 0.0, 1.0)
     rgb = jnp.where(hit[:, None], rgb, background)
 

@@ -157,6 +157,42 @@ def exp_sweep(args):
         fused_sdf._SDF_ONLY_BLOCK_OVERRIDE = None
 
 
+def exp_glue(args):
+    """Winner-bary carry A/B (the round-3 end-state "winner gather/bary
+    recompute" glue, docs/PROFILE.md): legacy = the tiled z-buffer kernel
+    returns face ids only and raster._winner_outputs re-gathers (P, 3, 4)
+    coef rows to recompute barycentrics + exact iz; carry = the kernel
+    carries the winner's bary/iz out directly (three masked reduces per
+    executed (tile, face-block) pair, ops/raster_zbuffer._select_update).
+    Both run on the full parity step; fresh runner per variant so the
+    trace-time _CARRY_BARY constant re-traces."""
+    import dataclasses
+
+    from avatarclip_tpu.render import raster
+    from avatarclip_tpu.pipelines import synthetic
+
+    _setup_cache()
+    print("| raster glue path | rays/s | ms/iter |")
+    print("|---|---|---|")
+    try:
+        for label, carry in (("legacy recompute", False), ("kernel carry", True)):
+            raster._CARRY_BARY = carry
+            with tempfile.TemporaryDirectory() as d:
+                with contextlib.redirect_stdout(sys.stderr):
+                    runner = synthetic.make_runner(
+                        d, scale="full", res=256, n_views=4
+                    )
+                    runner.tc = dataclasses.replace(
+                        runner.tc, sil_buckets=(), silhouette_res=160
+                    )
+                    runner.init_clip()
+                    runner.init_smpl()
+                rate, ms = _full_step_rate(runner, iters=args.iters)
+            print(f"| {label} | {rate:,.0f} | {ms:.1f} |")
+    finally:
+        raster._CARRY_BARY = False
+
+
 def exp_raster(args):
     import jax
     import jax.numpy as jnp
@@ -272,7 +308,8 @@ def exp_kernels(args):
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("exp", choices=["megablock", "width128", "raster", "kernels", "sweep"])
+    ap.add_argument("exp", choices=["megablock", "width128", "raster",
+                                    "kernels", "sweep", "glue"])
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--blocks", type=int, nargs="*",
                     default=[0, 512, 1024, 2048, 4096])
@@ -283,6 +320,7 @@ def main():
         "width128": exp_width128,
         "raster": exp_raster,
         "kernels": exp_kernels,
+        "glue": exp_glue,
     }[args.exp](args)
 
 

@@ -434,6 +434,102 @@ def test_render_mesh_precomputed_normals_bit_identical():
     assert int(np.asarray(a["mask"]).sum()) > 1000
     for k in ("rgb", "mask", "depth", "face_id"):
         np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+    # precomputed per-face corner normals (the hoisted single-gather path
+    # the train step uses via const["template_fn"]) — same gathered values,
+    # so bit-identical too
+    c = raster.render_mesh(
+        verts, fj, pose, 96, 96, 90.0, face_normals=n[fj]
+    )
+    for k in ("rgb", "mask", "depth", "face_id"):
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(c[k]))
+
+
+def test_zbuffer_tiled_carry_bary_matches_winner_outputs():
+    """carry_bary=True must return the same winners plus barycentrics /
+    exact inverse depth equal to _winner_outputs' coef-gather recompute
+    (same f32 dots: in-kernel MXU vs the out-of-kernel einsum), including
+    zeroed outputs at background pixels."""
+    from avatarclip_tpu.ops import raster_zbuffer
+
+    rng = np.random.default_rng(19)
+    V, F = 300, raster_zbuffer.FBLOCK_T + 101
+    verts = jnp.asarray(rng.normal(0.0, 0.35, (V, 3)).astype(np.float32))
+    fj = jnp.asarray(rng.integers(0, V, (F, 3)).astype(np.int32))
+    pose = cameras.lookat(
+        jnp.array([0.1, -0.2, 1.5]), jnp.zeros(3), jnp.array([0.0, 1.0, 0.0])
+    )
+    H, W = 50, 70  # non-multiples of the 32-px tiles
+    proj = raster.project_vertices(verts, pose, H, W, 60.0)
+    coef, cvalid, _ = raster._face_coefficients(proj, fj)
+    pix = raster._pixel_matrix(H, W)
+
+    fid_ref = raster_zbuffer.zbuffer_select_tiled(
+        coef, cvalid, proj.sx[fj], proj.sy[fj], H, W, interpret=True
+    )
+    fid_ref, bary_ref, iz_ref = raster._winner_outputs(pix, coef, fid_ref)
+
+    fid_c, kbary, kiz = raster_zbuffer.zbuffer_select_tiled(
+        coef, cvalid, proj.sx[fj], proj.sy[fj], H, W, interpret=True,
+        carry_bary=True,
+    )
+    np.testing.assert_array_equal(np.asarray(fid_c), np.asarray(fid_ref))
+    hit = np.asarray(fid_c) >= 0
+    assert hit.sum() > 50
+    # same normalization as rasterize's carry_bary branch
+    bary_c = np.clip(np.asarray(kbary), 0.0, 1.0)
+    bary_c = bary_c / np.maximum(bary_c.sum(-1, keepdims=True), 1e-12)
+    np.testing.assert_allclose(
+        bary_c[hit], np.asarray(bary_ref)[hit], rtol=0, atol=1e-5
+    )
+    iz_c = np.where(hit, np.asarray(kiz), 0.0)
+    # in-kernel dot vs out-of-kernel einsum: association differs by ~1 ulp
+    np.testing.assert_allclose(
+        iz_c[hit], np.asarray(iz_ref)[hit], rtol=1e-5, atol=0
+    )
+    # background pixels: bary zeros, iz sentinel mapped to 0
+    assert (bary_c[~hit] == 0.0).all()
+    assert (iz_c[~hit] == 0.0).all()
+
+
+def test_rasterize_carry_bary_end_to_end():
+    """rasterize(use_kernel=True/interpret) with carry_bary must agree with
+    the legacy recompute path on face ids, barycentrics, and depth."""
+    import avatarclip_tpu.ops.raster_zbuffer as rz
+
+    rng = np.random.default_rng(23)
+    V, F = 200, 256
+    verts = jnp.asarray(rng.normal(0.0, 0.35, (V, 3)).astype(np.float32))
+    fj = jnp.asarray(rng.integers(0, V, (F, 3)).astype(np.int32))
+    pose = cameras.lookat(
+        jnp.array([0.0, 0.1, 1.6]), jnp.zeros(3), jnp.array([0.0, 1.0, 0.0])
+    )
+    H = W = 48
+    proj = raster.project_vertices(verts, pose, H, W, 60.0)
+    valid = jnp.ones((F,), bool)
+
+    # kernel path needs interpret off-TPU: monkeypatch via the direct call
+    coef, cvalid, _ = raster._face_coefficients(proj, fj)
+    pix = raster._pixel_matrix(H, W)
+    fid0 = rz.zbuffer_select_tiled(
+        coef, valid & cvalid, proj.sx[fj], proj.sy[fj], H, W, interpret=True
+    )
+    fid_l, bary_l, iz_l = raster._winner_outputs(pix, coef, fid0)
+
+    fid_k, kbary, kiz = rz.zbuffer_select_tiled(
+        coef, valid & cvalid, proj.sx[fj], proj.sy[fj], H, W,
+        interpret=True, carry_bary=True,
+    )
+    hit = np.asarray(fid_k) >= 0
+    bary_k = jnp.clip(kbary, 0.0, 1.0)
+    bary_k = bary_k / jnp.maximum(bary_k.sum(-1, keepdims=True), 1e-12)
+    iz_k = jnp.where(fid_k >= 0, kiz, 0.0)
+    np.testing.assert_array_equal(np.asarray(fid_k), np.asarray(fid_l))
+    np.testing.assert_allclose(
+        np.asarray(bary_k)[hit], np.asarray(bary_l)[hit], atol=1e-5, rtol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(iz_k)[hit], np.asarray(iz_l)[hit], rtol=1e-5, atol=0
+    )
 
 
 def test_zbuffer_kernel_matches_numpy_exact_oracle():
