@@ -107,11 +107,17 @@ def _zbuffer_kernel(c0_ref, c1_ref, c2_ref, cz_ref, vmask_ref, pix_ref,
         fid_ref[...] = jnp.full_like(fid_ref, -1)
 
     pix = pix_ref[...]  # (PBLOCK, 3) f32
-    # four (PBLOCK,3)x(3,FBLOCK) dots: the entire tile stays in VMEM
+    # four (PBLOCK,3)x(3,FBLOCK) dots: the entire tile stays in VMEM.
+    # HIGHEST precision (free at K=3): default-precision bf16 passes put
+    # noise ~ |operand| * 2^-9 on edge values that decide inside/outside —
+    # for thin faces (large inv_area -> coef entries 1e3+) that turned the
+    # half-plane test into screen-crossing spikes on the real chip (the
+    # round-5 chain's 108-view renders; same lesson as fused_soft.py).
     dot = functools.partial(
         jax.lax.dot_general,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     b0 = dot(pix, c0_ref[...])
     b1 = dot(pix, c1_ref[...])
@@ -268,10 +274,12 @@ def _zbuffer_kernel_tiled(n_fb, tab_ref, c0_ref, c1_ref, c2_ref, cz_ref,
     @pl.when(tab_ref[i * n_fb + j] > 0)
     def _work():
         pix = pix_ref[...]  # (TBLOCK, 3) f32, a compact TILE_H x TILE_W tile
+        # HIGHEST precision: see _zbuffer_kernel (bf16 edge noise -> spikes)
         dot = functools.partial(
             jax.lax.dot_general,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         b0 = dot(pix, c0_ref[...])
         b1 = dot(pix, c1_ref[...])

@@ -101,7 +101,17 @@ def _face_coefficients(proj: Projected, faces: jnp.ndarray):
     area2 = e_ab[:, 0] * C[:, 0] + e_ab[:, 1] * C[:, 1] + e_ab[:, 2]
     orient = jnp.sign(area2)
     orient = jnp.where(orient == 0, 1.0, orient)
-    inv_area = orient / jnp.maximum(jnp.abs(area2), 1e-12)
+    # Degenerate-face gate in PIXEL units (was 1e-12, which admitted
+    # edge-on slivers down to |area2| ~ 5e-5 px^2 whose inv_area ~ 2e4
+    # scales coef entries to ~1e5-1e7: their half-plane test then loses
+    # boundedness to fp noise and the "triangle" rasterizes as a screen-
+    # crossing line. Found on the round-5 chain: the 108-view t-pose
+    # renders (arms edge-on in many azimuths) carried view-inconsistent
+    # white spikes that capped the NeuS pretrain at IoU 0.57. A face
+    # below 1e-3 px^2 is invisible to pixel-center sampling, so the gate
+    # costs nothing visible.
+    _MIN_AREA2 = 1e-3
+    inv_area = orient / jnp.maximum(jnp.abs(area2), _MIN_AREA2)
 
     # orient edges so inside => all >= 0, and normalize to barycentric coords
     bary_a = e_bc * inv_area[:, None]
@@ -121,7 +131,7 @@ def _face_coefficients(proj: Projected, faces: jnp.ndarray):
         proj.in_front[faces[:, 0]]
         & proj.in_front[faces[:, 1]]
         & proj.in_front[faces[:, 2]]
-        & (jnp.abs(area2) > 1e-12)
+        & (jnp.abs(area2) > _MIN_AREA2)
     )
 
     def safe_len(d):
@@ -227,6 +237,11 @@ def rasterize(
             pix, coef_c.transpose(1, 0, 2).reshape(3, chunk * 4),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.bfloat16,
+            # multiplies in full f32 (free at K=3), only STORAGE is bf16:
+            # default-precision bf16 products would noise the near-zero
+            # edge values that decide inside/outside (see the z-buffer
+            # kernels) — bf16 output keeps their sign, bf16 inputs do not
+            precision=jax.lax.Precision.HIGHEST,
         ).reshape(P, chunk, 4)
         b0, b1, b2, iz = vals[..., 0], vals[..., 1], vals[..., 2], vals[..., 3]
         inside = (b0 >= 0) & (b1 >= 0) & (b2 >= 0) & valid_c[None, :] & (iz > 0)

@@ -532,6 +532,43 @@ def test_rasterize_carry_bary_end_to_end():
     )
 
 
+def test_degenerate_slivers_are_gated_not_rasterized():
+    """Edge-on sliver faces must be gated by the pixel-scale area threshold
+    (_face_coefficients _MIN_AREA2), not rasterized: with the old 1e-12
+    gate a |area2| ~ 1e-4 px^2 face got inv_area ~ 1e4, its coef entries
+    ~1e5+, and the half-plane test lost boundedness to fp noise — on the
+    real chip (bf16 dot passes) such faces rasterized as screen-crossing
+    white lines and poisoned the round-5 chain's 108 NeuS-init views
+    (pretrain mask IoU 0.57 vs ~0.99 on clean data)."""
+    # three nearly-collinear points: projected area far below 1e-3 px^2
+    verts = jnp.asarray(np.array([
+        [-0.5, 0.0, 0.0], [0.5, 0.0, 0.0], [0.0, 1e-7, 0.0],
+        # a small but REAL face (~a few px^2) that must survive the gate
+        [0.0, 0.3, 0.0], [0.06, 0.3, 0.0], [0.03, 0.36, 0.0],
+    ], np.float32))
+    faces = jnp.asarray(np.array([[0, 1, 2], [3, 4, 5]], np.int32))
+    pose = cameras.lookat(
+        jnp.asarray([0.0, 0.0, 2.2]), jnp.zeros(3),
+        jnp.asarray([0.0, 1.0, 0.0]),
+    )
+    H = W = 256
+    focal = cameras.focal_from_fov(W, np.deg2rad(60.0))
+    proj = raster.project_vertices(verts, pose, H, W, focal)
+    coef, valid, _ = raster._face_coefficients(proj, faces)
+    v = np.asarray(valid)
+    assert not v[0], "sliver face must be gated invalid"
+    assert v[1], "small real face must stay valid"
+    out = raster.render_mesh(verts, faces, pose, H, W, focal, chunk=64)
+    fid = np.asarray(out["face_id"])
+    assert not (fid == 0).any(), "gated sliver rasterized pixels"
+    # the real face rasterizes, and only within its screen bbox (+1 px)
+    hit1 = np.argwhere(fid == 1)
+    assert len(hit1) > 0
+    sx, sy = np.asarray(proj.sx[faces[1]]), np.asarray(proj.sy[faces[1]])
+    assert hit1[:, 1].min() >= sx.min() - 1 and hit1[:, 1].max() <= sx.max() + 1
+    assert hit1[:, 0].min() >= sy.min() - 1 and hit1[:, 0].max() <= sy.max() + 1
+
+
 def test_zbuffer_kernel_matches_numpy_exact_oracle():
     """The pair-carry kernel orders winners by EXACT f32 inverse depth with
     ties to the higher face id — assert it against a brute-force numpy
