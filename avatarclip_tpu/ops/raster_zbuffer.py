@@ -64,17 +64,21 @@ FBLOCK_T = 512  # faces per block in the tiled kernel (finer = better culling)
 
 
 def _select_update(b0, b1, b2, iz, vmask, fid0, iz_ref, fid_ref,
-                   bary_refs=None):
+                   carry_vals=None, carry_refs=None):
     """Per-(pixel-block, face-block) winner update: lexicographic max of
     (exact f32 inverse depth, global face id) against the running pair in the
     revisited output refs. Background sentinel: (-1.0, -1).
 
-    With ``bary_refs`` (3 revisited (PB, 1) f32 refs) the winner's oriented
-    barycentrics are carried out of the kernel too — they are already
-    computed here for the inside test, so carrying them replaces the
-    (P, 3, 4) coef gather + einsum recompute in raster._winner_outputs
-    (the "winner gather/bary recompute" glue, docs/PROFILE.md round-3 end
-    state) with three masked reduces per executed (tile, face-block) pair."""
+    ``carry_vals`` / ``carry_refs`` (matching lists of (PB, FB) per-pair
+    value arrays and revisited (PB, 1) f32 output refs) carry arbitrary
+    per-(pixel, face) values of the winner out of the kernel — the three
+    oriented barycentrics (already computed here for the inside test) and
+    any extra linear-in-pixel channels (e.g. the interpolated vertex
+    normal). Carrying them replaces the (P, 3, 4) coef gather + einsum
+    recompute in raster._winner_outputs and the (P, 3, 3) face-normal
+    gather in render_mesh (the "winner gather/bary recompute" glue,
+    docs/PROFILE.md round-3 end state) with one masked reduce per channel
+    per executed (tile, face-block) pair."""
     inside = (
         (b0 >= 0.0) & (b1 >= 0.0) & (b2 >= 0.0) & (iz > 0.0) & (vmask > 0)
     )
@@ -89,12 +93,12 @@ def _select_update(b0, b1, b2, iz, vmask, fid0, iz_ref, fid_ref,
     take = (best_iz > cur_iz) | ((best_iz == cur_iz) & (best_fid > cur_fid))
     iz_ref[...] = jnp.where(take, best_iz, cur_iz)
     fid_ref[...] = jnp.where(take, best_fid, cur_fid)
-    if bary_refs is not None:
+    if carry_refs:
         # winner column = the (unique) global face id reaching best_fid
         colmask = (fid == best_fid) & inside
-        for b, ref in zip((b0, b1, b2), bary_refs):
-            bw = jnp.sum(jnp.where(colmask, b, 0.0), axis=1, keepdims=True)
-            ref[...] = jnp.where(take, bw, ref[...])
+        for v, ref in zip(carry_vals, carry_refs):
+            vw = jnp.sum(jnp.where(colmask, v, 0.0), axis=1, keepdims=True)
+            ref[...] = jnp.where(take, vw, ref[...])
 
 
 def _zbuffer_kernel(c0_ref, c1_ref, c2_ref, cz_ref, vmask_ref, pix_ref,
@@ -259,8 +263,12 @@ def analytic_flops_tiled(kept_pairs: int) -> float:
     return 24.0 * TBLOCK * FBLOCK_T * float(kept_pairs)
 
 
-def _zbuffer_kernel_tiled(n_fb, tab_ref, c0_ref, c1_ref, c2_ref, cz_ref,
-                          vmask_ref, pix_ref, iz_ref, fid_ref, *bary_refs):
+def _zbuffer_kernel_tiled(n_fb, n_chan, carry_bary, tab_ref, *refs):
+    c0_ref, c1_ref, c2_ref, cz_ref, vmask_ref, pix_ref = refs[:6]
+    chan_refs = refs[6:6 + n_chan]  # extra (3, FB) linear-channel operands
+    iz_ref, fid_ref = refs[6 + n_chan:8 + n_chan]
+    carry_refs = refs[8 + n_chan:]
+
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -268,7 +276,7 @@ def _zbuffer_kernel_tiled(n_fb, tab_ref, c0_ref, c1_ref, c2_ref, cz_ref,
     def _init():
         iz_ref[...] = jnp.full_like(iz_ref, -1.0)
         fid_ref[...] = jnp.full_like(fid_ref, -1)
-        for ref in bary_refs:
+        for ref in carry_refs:
             ref[...] = jnp.zeros_like(ref)
 
     @pl.when(tab_ref[i * n_fb + j] > 0)
@@ -285,9 +293,11 @@ def _zbuffer_kernel_tiled(n_fb, tab_ref, c0_ref, c1_ref, c2_ref, cz_ref,
         b1 = dot(pix, c1_ref[...])
         b2 = dot(pix, c2_ref[...])
         iz = dot(pix, cz_ref[...])
+        carry_vals = list((b0, b1, b2) if carry_bary else ())
+        carry_vals += [dot(pix, r[...]) for r in chan_refs]
         _select_update(
             b0, b1, b2, iz, vmask_ref[...], j * FBLOCK_T, iz_ref, fid_ref,
-            bary_refs=bary_refs or None,
+            carry_vals=carry_vals, carry_refs=carry_refs,
         )
 
 
@@ -300,6 +310,7 @@ def zbuffer_select_tiled(
     W: int,
     interpret: bool = False,
     carry_bary: bool = False,
+    chan_coef: jnp.ndarray | None = None,  # (F, 3, C) extra linear channels
 ):
     """Winner selection with 2-D tile / face-block bbox culling.
 
@@ -309,7 +320,18 @@ def zbuffer_select_tiled(
     (H*W,) int32 with -1 = background; with ``carry_bary`` returns
     (best_face, bary (H*W, 3) un-normalized oriented barycentrics of the
     winner, iz (H*W,) exact f32 inverse depth, -1.0 at background) so the
-    caller can skip the coef re-gather (raster._winner_outputs)."""
+    caller can skip the coef re-gather (raster._winner_outputs).
+
+    ``chan_coef`` carries C extra per-face channels, each LINEAR in the
+    pixel (channel value at pixel p for face f = pix[p] @ chan_coef[f, :, c],
+    like the barycentrics/iz themselves): the kernel evaluates one more
+    (TBLOCK,3)x(3,FBLOCK_T) dot per channel per executed pair and carries
+    the winner's values. Appends a (H*W, C) array to the returns (zeros at
+    background). Interpolated vertex attributes are exactly this shape:
+    attr(p, f) = sum_k bary_k(p, f) * attr[f, k] = pix @ (coef[f,:,:3] @
+    attr[f]) — so the winner's (unnormalized) smooth normal can ride out of
+    the kernel and render_mesh's (P, 3, 3) face-normal gather disappears
+    (the fused winner-shading glue candidate, docs/PROFILE.md round 5)."""
     # overlap_table pads its own face inputs; pad only the kernel operands
     tab, n_tiles, n_fb = overlap_table(valid, face_sx, face_sy, H, W)
     F = coef.shape[0]
@@ -317,6 +339,11 @@ def zbuffer_select_tiled(
     if f_pad:
         coef = jnp.concatenate([coef, jnp.zeros((f_pad, 3, 4), coef.dtype)], 0)
         valid = jnp.concatenate([valid, jnp.zeros((f_pad,), bool)], 0)
+        if chan_coef is not None:
+            chan_coef = jnp.concatenate(
+                [chan_coef,
+                 jnp.zeros((f_pad,) + chan_coef.shape[1:], chan_coef.dtype)], 0
+            )
     Fp = coef.shape[0]
     Hp, Wp = _round_up(H, TILE_H), _round_up(W, TILE_W)
     n_ty, n_tx = Hp // TILE_H, Wp // TILE_W
@@ -340,31 +367,40 @@ def zbuffer_select_tiled(
     c0, c1, c2, cz = (ct[..., k].astype(jnp.float32) for k in range(4))
     vmask = valid.astype(jnp.int32).reshape(1, Fp)
 
-    n_out = 5 if carry_bary else 2
+    n_chan = 0 if chan_coef is None else chan_coef.shape[-1]
+    chans = (
+        []
+        if chan_coef is None
+        else [
+            chan_coef[..., c].T.astype(jnp.float32) for c in range(n_chan)
+        ]  # each (3, Fp)
+    )
+
+    n_carry = (3 if carry_bary else 0) + n_chan
+    n_out = 2 + n_carry
     out_spec = pl.BlockSpec((TBLOCK, 1), lambda i, j, t: (i, 0),
                             memory_space=pltpu.VMEM)
+    face_spec = pl.BlockSpec((3, FBLOCK_T), lambda i, j, t: (0, j),
+                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles, n_fb),
         in_specs=[
-            pl.BlockSpec((3, FBLOCK_T), lambda i, j, t: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, FBLOCK_T), lambda i, j, t: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, FBLOCK_T), lambda i, j, t: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, FBLOCK_T), lambda i, j, t: (0, j),
-                         memory_space=pltpu.VMEM),
+            face_spec,
+            face_spec,
+            face_spec,
+            face_spec,
             pl.BlockSpec((1, FBLOCK_T), lambda i, j, t: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TBLOCK, 3), lambda i, j, t: (i, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ]
+        + [face_spec] * n_chan,
         out_specs=tuple(out_spec for _ in range(n_out)),
     )
     out_dtypes = [jnp.float32, jnp.int32] + [jnp.float32] * (n_out - 2)
     out = pl.pallas_call(
-        functools.partial(_zbuffer_kernel_tiled, n_fb),
+        functools.partial(_zbuffer_kernel_tiled, n_fb, n_chan, carry_bary),
         grid_spec=grid_spec,
         out_shape=tuple(
             jax.ShapeDtypeStruct((n_tiles * TBLOCK, 1), dt)
@@ -375,7 +411,7 @@ def zbuffer_select_tiled(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(tab, c0, c1, c2, cz, vmask, pix)
+    )(tab, c0, c1, c2, cz, vmask, pix, *chans)
 
     # un-permute tiles -> row-major image, crop padding
     def unpermute(a):
@@ -386,7 +422,16 @@ def zbuffer_select_tiled(
             .reshape(-1)
         )
 
-    if not carry_bary:
+    if n_carry == 0:
         return unpermute(out[1])
-    bary = jnp.stack([unpermute(out[k]) for k in (2, 3, 4)], axis=-1)
-    return unpermute(out[1]), bary, unpermute(out[0])
+    ret = [unpermute(out[1])]
+    k = 2
+    if carry_bary:
+        ret.append(jnp.stack([unpermute(out[k + c]) for c in range(3)], -1))
+        k += 3
+        ret.append(unpermute(out[0]))  # exact f32 iz (-1.0 at background)
+    if n_chan:
+        ret.append(
+            jnp.stack([unpermute(out[k + c]) for c in range(n_chan)], -1)
+        )
+    return tuple(ret)

@@ -159,14 +159,24 @@ def _pixel_matrix(H: int, W: int) -> jnp.ndarray:
 
 # A/B toggle (scripts/perf_experiments.py exp_glue): when True, the tiled
 # z-buffer kernel carries the winner's barycentrics + exact inverse depth
-# out of the kernel (ops/raster_zbuffer._select_update bary_refs), removing
+# out of the kernel (ops/raster_zbuffer._select_update carry refs), removing
 # the (P, 3, 4) coef gather + einsum recompute of _winner_outputs from the
 # step. Trace-time constant: toggling it only affects NEWLY traced steps.
 _CARRY_BARY = False
 
+# A/B toggle (scripts/perf_experiments.py exp_glue): when True, untextured
+# render_mesh calls additionally carry the winner's INTERPOLATED NORMAL out
+# of the z-buffer kernel as three extra linear channels (the smooth normal
+# is linear in the pixel: n(p, f) = pix @ (coef[f,:,:3] @ face_normals[f])),
+# so the post-raster shading needs NO per-pixel gathers at all — the
+# (P, 3, 3) face-normal gather + einsum become elementwise math on carried
+# values. Implies the bary/iz carry. Trace-time constant.
+_CARRY_SHADE = False
+
 
 @functools.partial(
-    jax.jit, static_argnames=("H", "W", "chunk", "use_kernel", "carry_bary")
+    jax.jit,
+    static_argnames=("H", "W", "chunk", "use_kernel", "carry_bary", "interpret"),
 )
 def rasterize(
     proj_sx, proj_sy, proj_inv_z, proj_front,
@@ -177,6 +187,7 @@ def rasterize(
     chunk: int = 2048,
     use_kernel: bool | None = None,
     carry_bary: bool | None = None,
+    interpret: bool = False,
 ):
     """Hard z-buffer pass. Returns (face_id (P,) int32 [-1 = background],
     bary (P, 3), inv_z (P,)).
@@ -209,14 +220,15 @@ def rasterize(
         if carry_bary:
             best_face, kbary, kiz = raster_zbuffer.zbuffer_select_tiled(
                 coef, valid, proj.sx[faces], proj.sy[faces], H, W,
-                carry_bary=True,
+                carry_bary=True, interpret=interpret,
             )
             hit = best_face >= 0
             bary = jnp.clip(kbary, 0.0, 1.0)
             bary = bary / jnp.maximum(bary.sum(-1, keepdims=True), 1e-12)
             return best_face, bary, jnp.where(hit, kiz, 0.0)
         best_face = raster_zbuffer.zbuffer_select_tiled(
-            coef, valid, proj.sx[faces], proj.sy[faces], H, W
+            coef, valid, proj.sx[faces], proj.sy[faces], H, W,
+            interpret=interpret,
         )
         return _winner_outputs(pix, coef, best_face)
 
@@ -381,6 +393,9 @@ def render_mesh(
     texture: jnp.ndarray | None = None,  # (Ht, Wt, 3) sampled bilinearly
     normals: jnp.ndarray | None = None,  # (V, 3) precomputed vertex_normals
     face_normals: jnp.ndarray | None = None,  # (F, 3, 3) normals[faces]
+    use_kernel: bool | None = None,
+    interpret: bool = False,
+    carry_shade: bool | None = None,
 ):
     """Shaded hard rasterization -> dict(rgb (H,W,3), mask (H,W), depth (H,W)).
 
@@ -396,12 +411,6 @@ def render_mesh(
     valid = jnp.arange(faces.shape[0]) < F
 
     proj = project_vertices(vertices, pose, H, W, focal)
-    face_id, bary, inv_z = rasterize(
-        proj.sx, proj.sy, proj.inv_z, proj.in_front, faces, valid, H, W, chunk
-    )
-
-    hit = face_id >= 0
-    fid = jnp.where(hit, face_id, 0)
 
     # Per-face corner attributes gathered ONCE at F-level, then one P-level
     # row gather per pixel — replaces the legacy two-level gather
@@ -422,10 +431,53 @@ def render_mesh(
             [face_normals,
              jnp.zeros((faces.shape[0] - face_normals.shape[0], 3, 3))], 0
         )
-    n_pix = jnp.einsum("pb,pbc->pc", bary, face_normals[fid])
-    n_pix = n_pix / jnp.maximum(
-        jnp.linalg.norm(n_pix, axis=-1, keepdims=True), 1e-12
+
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu" or interpret
+    if carry_shade is None:
+        carry_shade = _CARRY_SHADE
+    fused_shade = (
+        carry_shade and use_kernel
+        and face_uvs is None and vertex_colors is None
     )
+    if fused_shade:
+        # Fused winner shading: the z-buffer kernel carries the winner's
+        # unnormalized interpolated normal out as three extra linear
+        # channels, so NOTHING downstream gathers at P-level. Winners pass
+        # the inside test (all oriented barys >= 0), so the carried raw-bary
+        # combination differs from the XLA path's clipped/normalized-bary
+        # one by a positive per-pixel scale only — identical direction after
+        # the unit normalization below.
+        from ..ops import raster_zbuffer
+
+        coef, cvalid, _ = _face_coefficients(proj, faces)
+        v = valid & cvalid
+        ncoef = jnp.einsum(
+            "fck,fkx->fcx", coef[..., :3], face_normals,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (F, 3, 3): x = pix-coef row, last = normal xyz
+        face_id, kbary, kiz, n_raw = raster_zbuffer.zbuffer_select_tiled(
+            coef, v, proj.sx[faces], proj.sy[faces], H, W,
+            carry_bary=True, chan_coef=ncoef, interpret=interpret,
+        )
+        hit = face_id >= 0
+        bary = jnp.clip(kbary, 0.0, 1.0)
+        bary = bary / jnp.maximum(bary.sum(-1, keepdims=True), 1e-12)
+        inv_z = jnp.where(hit, kiz, 0.0)
+        n_pix = n_raw / jnp.maximum(
+            jnp.linalg.norm(n_raw, axis=-1, keepdims=True), 1e-12
+        )
+    else:
+        face_id, bary, inv_z = rasterize(
+            proj.sx, proj.sy, proj.inv_z, proj.in_front, faces, valid, H, W,
+            chunk, use_kernel=use_kernel, interpret=interpret,
+        )
+        hit = face_id >= 0
+        fid = jnp.where(hit, face_id, 0)
+        n_pix = jnp.einsum("pb,pbc->pc", bary, face_normals[fid])
+        n_pix = n_pix / jnp.maximum(
+            jnp.linalg.norm(n_pix, axis=-1, keepdims=True), 1e-12
+        )
 
     if light_dir is None:
         light_dir = jnp.asarray([0.0, 1.0, 0.0])

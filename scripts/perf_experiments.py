@@ -158,14 +158,17 @@ def exp_sweep(args):
 
 
 def exp_glue(args):
-    """Winner-bary carry A/B (the round-3 end-state "winner gather/bary
+    """Winner-carry A/B ladder (the round-3 end-state "winner gather/bary
     recompute" glue, docs/PROFILE.md): legacy = the tiled z-buffer kernel
     returns face ids only and raster._winner_outputs re-gathers (P, 3, 4)
-    coef rows to recompute barycentrics + exact iz; carry = the kernel
+    coef rows to recompute barycentrics + exact iz; bary carry = the kernel
     carries the winner's bary/iz out directly (three masked reduces per
-    executed (tile, face-block) pair, ops/raster_zbuffer._select_update).
-    Both run on the full parity step; fresh runner per variant so the
-    trace-time _CARRY_BARY constant re-traces."""
+    executed (tile, face-block) pair, ops/raster_zbuffer._select_update);
+    shade carry = additionally carries the winner's interpolated normal as
+    three linear channels (three more K=3 dots + reduces per pair) so the
+    GT render's post-raster shading has ZERO per-pixel gathers
+    (render_mesh fused_shade). Full parity step; fresh runner per variant
+    so the trace-time constants re-trace."""
     import dataclasses
 
     from avatarclip_tpu.render import raster
@@ -174,9 +177,15 @@ def exp_glue(args):
     _setup_cache()
     print("| raster glue path | rays/s | ms/iter |")
     print("|---|---|---|")
+    rows = (
+        ("legacy recompute", False, False),
+        ("bary carry", True, False),
+        ("shade carry", False, True),
+    )
     try:
-        for label, carry in (("legacy recompute", False), ("kernel carry", True)):
+        for label, carry, shade in rows:
             raster._CARRY_BARY = carry
+            raster._CARRY_SHADE = shade
             with tempfile.TemporaryDirectory() as d:
                 with contextlib.redirect_stdout(sys.stderr):
                     runner = synthetic.make_runner(
@@ -191,6 +200,7 @@ def exp_glue(args):
             print(f"| {label} | {rate:,.0f} | {ms:.1f} |")
     finally:
         raster._CARRY_BARY = False
+        raster._CARRY_SHADE = False
 
 
 def exp_raster(args):

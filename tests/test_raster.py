@@ -740,3 +740,83 @@ def test_soft_backward_memory_is_chunk_bounded():
         f"soft-raster backward temps {temp_gib:.1f} GiB — the scan residuals "
         "are O(P x F) again (lost jax.checkpoint on the _soft_core body?)"
     )
+
+
+def test_zbuffer_tiled_chan_coef_carries_linear_channels():
+    """chan_coef channels (linear in the pixel, like the barycentrics) must
+    come out of the kernel equal to the explicit recompute
+    pix @ chan_coef[winner] at hit pixels, zeros at background — the fused
+    winner-shading candidate rides interpolated normals on this."""
+    from avatarclip_tpu.ops import raster_zbuffer
+
+    rng = np.random.default_rng(31)
+    V, F = 300, raster_zbuffer.FBLOCK_T + 77
+    verts = jnp.asarray(rng.normal(0.0, 0.35, (V, 3)).astype(np.float32))
+    fj = jnp.asarray(rng.integers(0, V, (F, 3)).astype(np.int32))
+    pose = cameras.lookat(
+        jnp.array([0.1, -0.2, 1.5]), jnp.zeros(3), jnp.array([0.0, 1.0, 0.0])
+    )
+    H, W = 50, 70
+    proj = raster.project_vertices(verts, pose, H, W, 60.0)
+    coef, cvalid, _ = raster._face_coefficients(proj, fj)
+    pix = raster._pixel_matrix(H, W)
+
+    # three arbitrary linear channels (stand-in for the normal coefficients)
+    chan = jnp.asarray(rng.normal(0.0, 1.0, (F, 3, 3)).astype(np.float32))
+
+    fid, kbary, kiz, kchan = raster_zbuffer.zbuffer_select_tiled(
+        coef, cvalid, proj.sx[fj], proj.sy[fj], H, W, interpret=True,
+        carry_bary=True, chan_coef=chan,
+    )
+    fid_ref = raster_zbuffer.zbuffer_select_tiled(
+        coef, cvalid, proj.sx[fj], proj.sy[fj], H, W, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(fid), np.asarray(fid_ref))
+    hit = np.asarray(fid) >= 0
+    assert hit.sum() > 50
+    ref = np.einsum(
+        "pc,pcx->px", np.asarray(pix), np.asarray(chan)[np.where(hit, fid, 0)]
+    )
+    np.testing.assert_allclose(
+        np.asarray(kchan)[hit], ref[hit], rtol=1e-5, atol=1e-5
+    )
+    assert (np.asarray(kchan)[~hit] == 0.0).all()
+
+
+def test_render_mesh_fused_winner_shading_end_to_end():
+    """render_mesh(carry_shade=True) — winner normal carried out of the
+    kernel as linear channels, zero P-level gathers — must match the
+    legacy kernel path (same winners, recompute shading) on every output."""
+    rng = np.random.default_rng(37)
+    V, F = 400, 900
+    verts = jnp.asarray(rng.normal(0.0, 0.35, (V, 3)).astype(np.float32))
+    fj = jnp.asarray(rng.integers(0, V, (F, 3)).astype(np.int32))
+    pose = cameras.lookat(
+        jnp.array([0.0, 0.1, 1.6]), jnp.zeros(3), jnp.array([0.0, 1.0, 0.0])
+    )
+    H = W = 64
+    a = raster.render_mesh(
+        verts, fj, pose, H, W, 70.0, use_kernel=True, interpret=True,
+        carry_shade=False,
+    )
+    b = raster.render_mesh(
+        verts, fj, pose, H, W, 70.0, use_kernel=True, interpret=True,
+        carry_shade=True,
+    )
+    assert int(np.asarray(a["mask"]).sum()) > 200
+    np.testing.assert_array_equal(np.asarray(a["mask"]), np.asarray(b["mask"]))
+    np.testing.assert_array_equal(
+        np.asarray(a["face_id"]), np.asarray(b["face_id"])
+    )
+    # winners are inside (all barys >= 0), so the raw-bary carried normal is
+    # a positive scale of the clipped/normalized-bary recompute: identical
+    # direction after unit normalization, rgb equal to fp noise
+    np.testing.assert_allclose(
+        np.asarray(a["rgb"]), np.asarray(b["rgb"]), atol=3e-5, rtol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(a["depth"]), np.asarray(b["depth"]), rtol=1e-5, atol=1e-6
+    )
+    # the XLA scan path agrees on coverage (winner ties aside)
+    c = raster.render_mesh(verts, fj, pose, H, W, 70.0, use_kernel=False)
+    np.testing.assert_array_equal(np.asarray(c["mask"]), np.asarray(b["mask"]))
